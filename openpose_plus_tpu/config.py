@@ -1,0 +1,136 @@
+"""Typed configuration for the TPU-native pose engine.
+
+Replaces the reference's module-global EasyDict (reference: config.py ::
+config [HIGH] — empty mount, see SURVEY.md) with frozen dataclasses so configs
+are hashable and can be closed over by jit-compiled functions as static data.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Network architecture + map geometry.
+
+    Mirrors reference config.MODEL: n_pos=19, hin/win=368/432,
+    hout/wout=hin/8, model name.
+    """
+
+    name: str = "mobilenet_thin"
+    n_heatmaps: int = 19
+    n_pafs: int = 38
+    hin: int = 368
+    win: int = 432
+    stride: int = 8            # backbone output stride
+    n_stages: int = 6          # refinement stages (deep supervision)
+    compute_dtype: str = "bfloat16"  # MXU-friendly; params stay float32
+    # MobileNet width multiplier ("thin" = 0.75 in the reference family).
+    width_multiplier: float = 0.75
+
+    @property
+    def hout(self) -> int:
+        return self.hin // self.stride
+
+    @property
+    def wout(self) -> int:
+        return self.win // self.stride
+
+
+@dataclasses.dataclass(frozen=True)
+class PostprocConfig:
+    """On-device grouping parameters.
+
+    Numeric thresholds follow the reference PAF pipeline (peak threshold
+    ~0.05-0.1, 10 line-integral samples, >=80% inlier samples, humans need
+    >=3 parts); static capacities (max_peaks/max_humans) replace the
+    reference's dynamic shapes so the whole stage jit-compiles.
+    """
+
+    max_peaks: int = 32          # top-K peak cap per part channel
+    max_humans: int = 32         # skeleton slots per image
+    peak_threshold: float = 0.05
+    paf_n_samples: int = 10      # points sampled along each candidate limb
+    paf_sample_threshold: float = 0.05
+    paf_inlier_ratio: float = 0.8
+    min_parts_per_human: int = 3
+    min_human_score: float = 0.0
+    # Upsampling applied to the net output maps before peak finding.
+    # 1 = group at feature resolution with subpixel (quadratic) refinement;
+    # the reference upsamples ~8x and groups at image resolution.
+    upsample_factor: int = 4
+    smooth_sigma: float = 2.5    # Gaussian smoothing before NMS (pixels)
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Dataset paths and augmentation ranges (reference config.DATA +
+    train.py :: _data_aug_fn ranges)."""
+
+    train_images: str = "data/coco/train2017"
+    train_annotations: str = "data/coco/annotations/person_keypoints_train2017.json"
+    val_images: str = "data/coco/val2017"
+    val_annotations: str = "data/coco/annotations/person_keypoints_val2017.json"
+    rotate_max_deg: float = 40.0
+    scale_min: float = 0.5
+    scale_max: float = 1.1
+    flip_prob: float = 0.5
+    sigma: float = 8.0           # GT heatmap Gaussian sigma (input pixels)
+    limb_width: float = 8.0      # GT PAF band half-width (input pixels)
+    prefetch: int = 4
+    num_workers: int = 8
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimization schedule (reference config.TRAIN: batch ~8, lr_init
+    ~4e-5, ~600k steps, stepwise decay, weight decay on kernels)."""
+
+    batch_size: int = 8          # per-host global batch (sharded over mesh)
+    n_steps: int = 600_000
+    lr_init: float = 4e-5
+    lr_decay_every: int = 136_120
+    lr_decay_factor: float = 0.333
+    weight_decay: float = 5e-4
+    optimizer: str = "adam"      # "adam" | "momentum"
+    momentum: float = 0.9
+    log_every: int = 100
+    checkpoint_every: int = 5000
+    checkpoint_dir: str = "checkpoints"
+    seed: int = 0
+    donate_state: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class ParallelConfig:
+    """Device-mesh layout. The reference's KungFu data-parallel training
+    (train.py :: parallel_train [HIGH]) maps to a `data` mesh axis with
+    compiler-inserted psum; a second `spatial` axis optionally shards the
+    image height dim (XLA GSPMD spatial partitioning with halo exchange),
+    which is the TPU-native answer to very high-res frames."""
+
+    data_axis: str = "data"
+    spatial_axis: str = "spatial"
+    spatial_parallelism: int = 1   # shards of the image H dimension
+    multihost: bool = False        # call jax.distributed.initialize()
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    postproc: PostprocConfig = dataclasses.field(default_factory=PostprocConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    parallel: ParallelConfig = dataclasses.field(default_factory=ParallelConfig)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def default_config(model_name: Optional[str] = None) -> Config:
+    cfg = Config()
+    if model_name is not None:
+        cfg = cfg.replace(model=dataclasses.replace(cfg.model, name=model_name))
+    return cfg
