@@ -1,0 +1,90 @@
+"""Inference engine: preprocess -> CNN forward -> on-device grouping, one jit.
+
+TPU-native replacement for BOTH reference inference paths (SURVEY.md §2/§3):
+  * Python TfPoseEstimator (openpose_plus/inference/estimator.py):
+    sess.run for maps + host-side Python grouping
+  * C++ PoseDetector facade (src/pose_detector.cpp + src/uff-runner.cpp):
+    TensorRT engine + C++ paf.cpp grouping
+
+Here the entire pipeline — uint8 normalize, backbone+stages, upsample, NMS,
+PAF scoring, greedy grouping — is ONE XLA program: no host round-trip
+between the CNN and the parser, and `compile()` is the analogue of the
+reference's offline TensorRT engine build (AOT jit lowering).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openpose_plus_tpu.config import Config, default_config
+from openpose_plus_tpu.models import get_model
+from openpose_plus_tpu.postproc import HumanBatch, decode_maps
+
+
+def preprocess_images(images: jax.Array) -> jax.Array:
+    """uint8 (B, H, W, 3) RGB -> float32 in [-0.5, 0.5] (reference
+    normalization: /255 - 0.5; src/input.cpp equivalent, but on device)."""
+    return images.astype(jnp.float32) / 255.0 - 0.5
+
+
+class Engine:
+    """End-to-end pose estimator.
+
+    Parameters
+    ----------
+    config: full Config (model + postproc sections are used).
+    params: optional pretrained parameter pytree; random init otherwise.
+    """
+
+    def __init__(self, config: Optional[Config] = None,
+                 params: Optional[Any] = None, seed: int = 0):
+        self.config = config or default_config()
+        self.model = get_model(self.config.model)
+        if params is None:
+            dummy = jnp.zeros(
+                (1, self.config.model.hin, self.config.model.win, 3),
+                jnp.float32)
+            params = self.model.init(jax.random.PRNGKey(seed), dummy)
+        self.params = params
+        self._infer = jax.jit(functools.partial(
+            _infer_impl, model=self.model, postproc_cfg=self.config.postproc))
+        self._forward = jax.jit(functools.partial(_forward_impl,
+                                                  model=self.model))
+
+    # ------------------------------------------------------------- API ---
+
+    def infer(self, images: np.ndarray | jax.Array) -> HumanBatch:
+        """images: (B, hin, win, 3) uint8 RGB -> skeletons.
+
+        The analogue of TfPoseEstimator.inference / PoseDetector::detect,
+        but batched and fully on-device.
+        """
+        return self._infer(self.params, jnp.asarray(images))
+
+    def forward(self, images: np.ndarray | jax.Array):
+        """images -> (conf, paf) final-stage maps (no grouping)."""
+        return self._forward(self.params, jnp.asarray(images))
+
+    def compile(self, batch_size: int) -> None:
+        """AOT-compile for a fixed batch size (the reference's TensorRT
+        "engine build" step; subsequent infer() calls at this shape hit the
+        compile cache)."""
+        shape = (batch_size, self.config.model.hin, self.config.model.win, 3)
+        self._infer.lower(self.params,
+                          jax.ShapeDtypeStruct(shape, jnp.uint8)).compile()
+
+
+def _forward_impl(params, images, *, model):
+    x = preprocess_images(images)
+    out = model.apply(params, x)
+    return out["conf"][-1], out["paf"][-1]
+
+
+def _infer_impl(params, images, *, model, postproc_cfg) -> HumanBatch:
+    conf, paf = _forward_impl(params, images, model=model)
+    return decode_maps(conf, paf, postproc_cfg)

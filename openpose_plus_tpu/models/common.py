@@ -1,0 +1,158 @@
+"""Shared building blocks for the pose model zoo.
+
+Every model follows the reference's two-branch multi-stage layout
+(openpose_plus/models/*.py [HIGH behavior; empty mount — SURVEY.md]): a
+backbone produces a stride-8 feature map F; stage 1 predicts (conf, paf)
+from F; each later stage refines from concat(F, conf_{t-1}, paf_{t-1}).
+All per-stage outputs are returned for deep supervision.
+
+TPU-first choices: NHWC layout end-to-end, bfloat16 compute with float32
+params (MXU-native), channel counts kept at multiples of 8 where the
+reference allows, and plain XLA convolutions (profiling decides where
+Pallas kernels replace them — see ops/pallas/).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+# Model output convention: a plain dict {'conf': [per-stage
+# (N,H/8,W/8,19)], 'paf': [per-stage (N,H/8,W/8,38)], 'feature':
+# (N,H/8,W/8,C)} — a plain dict so it is a JAX pytree.
+def _dtype(name: str):
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
+
+
+class ConvRelu(nn.Module):
+    """3x3-style conv + ReLU (the reference's tl.layers.Conv2d+relu)."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    act: bool = True
+    compute_dtype: str = "bfloat16"
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.features, (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride), padding="SAME",
+                    dtype=_dtype(self.compute_dtype),
+                    param_dtype=jnp.float32)(x)
+        return nn.relu(x) if self.act else x
+
+
+class SepConvRelu(nn.Module):
+    """Depthwise-separable conv (MobileNet-style): DW kxk + PW 1x1, ReLU.
+
+    The depthwise stage is the TPU hot spot the reference never had
+    (TensorRT fused it); ops/pallas hosts the hand kernel when XLA's
+    depthwise lowering underperforms.
+    """
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    compute_dtype: str = "bfloat16"
+
+    @nn.compact
+    def __call__(self, x):
+        c_in = x.shape[-1]
+        x = nn.Conv(c_in, (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride), padding="SAME",
+                    feature_group_count=c_in,
+                    dtype=_dtype(self.compute_dtype),
+                    param_dtype=jnp.float32)(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.features, (1, 1), dtype=_dtype(self.compute_dtype),
+                    param_dtype=jnp.float32)(x)
+        return nn.relu(x)
+
+
+class StageBranch(nn.Module):
+    """One branch (conf or paf) of one refinement stage.
+
+    Stage 1 (reference models_vgg.py stage1): 3x [3x3, mid] + [1x1, proj]
+    + [1x1, out]. Stages 2+: 5x [kxk, mid] + [1x1, mid] + [1x1, out] with
+    k=7 in the VGG models.
+    """
+
+    out_features: int
+    mid_features: int = 128
+    n_convs: int = 3
+    kernel: int = 3
+    proj_features: int = 512
+    separable: bool = False
+    compute_dtype: str = "bfloat16"
+
+    @nn.compact
+    def __call__(self, x):
+        conv = SepConvRelu if self.separable else ConvRelu
+        for _ in range(self.n_convs):
+            x = conv(self.mid_features, kernel=self.kernel,
+                     compute_dtype=self.compute_dtype)(x)
+        x = ConvRelu(self.proj_features, kernel=1,
+                     compute_dtype=self.compute_dtype)(x)
+        # Final prediction in float32: the decoder compares map values.
+        x = nn.Conv(self.out_features, (1, 1), dtype=jnp.float32,
+                    param_dtype=jnp.float32)(x)
+        return x
+
+
+class MultiStageHead(nn.Module):
+    """The full stage stack shared by every backbone.
+
+    Returns per-stage (conf, paf) lists; later stages see
+    concat(F, conf_{t-1}, paf_{t-1}) exactly as in the reference.
+    """
+
+    n_heatmaps: int = 19
+    n_pafs: int = 38
+    n_stages: int = 6
+    stage1_convs: int = 3
+    stage1_kernel: int = 3
+    stage1_proj: int = 512
+    refine_convs: int = 5
+    refine_kernel: int = 7
+    refine_mid: int = 128
+    separable: bool = False
+    compute_dtype: str = "bfloat16"
+
+    @nn.compact
+    def __call__(self, feature):
+        confs, pafs = [], []
+        x = feature
+        for stage in range(self.n_stages):
+            if stage == 0:
+                kw: dict[str, Any] = dict(
+                    n_convs=self.stage1_convs, kernel=self.stage1_kernel,
+                    proj_features=self.stage1_proj)
+            else:
+                kw = dict(n_convs=self.refine_convs, kernel=self.refine_kernel,
+                          mid_features=self.refine_mid, proj_features=self.refine_mid)
+                x = jnp.concatenate(
+                    [feature, confs[-1].astype(feature.dtype),
+                     pafs[-1].astype(feature.dtype)], axis=-1)
+            conf = StageBranch(self.n_heatmaps, separable=self.separable,
+                               compute_dtype=self.compute_dtype,
+                               name=f"stage{stage + 1}_conf", **kw)(x)
+            paf = StageBranch(self.n_pafs, separable=self.separable,
+                              compute_dtype=self.compute_dtype,
+                              name=f"stage{stage + 1}_paf", **kw)(x)
+            confs.append(conf)
+            pafs.append(paf)
+        return confs, pafs
+
+
+def vgg_block(x, features: Sequence[int], compute_dtype: str, prefix: str,
+              pool: bool = True):
+    """n stacked 3x3 conv+relu, optional 2x2 max pool."""
+    for i, f in enumerate(features):
+        x = ConvRelu(f, compute_dtype=compute_dtype,
+                     name=f"{prefix}_{i + 1}")(x)
+    if pool:
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+    return x

@@ -1,0 +1,61 @@
+"""MobileNet-thin: depthwise-separable backbone, the fast model of the zoo.
+
+Behavior-level match of the reference's models_mobilenet.py [HIGH behavior,
+MED exact layer plan; empty mount — SURVEY.md §2 "MobileNet-thin model"]:
+MobileNet v1 at a thin width multiplier (0.75), a multi-scale feature
+concat (stride-4 features pooled onto the stride-8 grid), and smaller
+separable-conv stage heads.
+
+Depthwise convs are the TPU-specific hot spot (tiny arithmetic intensity);
+ops/pallas owns the custom kernel when profiling shows XLA leaving
+performance on the table.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from openpose_plus_tpu.config import ModelConfig
+from openpose_plus_tpu.models import common
+
+
+def _w(width: float, c: int) -> int:
+    """Width-multiplied channel count, rounded to a multiple of 8 (TPU lane
+    friendliness; the reference rounds to arbitrary ints)."""
+    return max(8, int(round(c * width / 8)) * 8)
+
+
+class MobileNetThinPose(nn.Module):
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x):
+        d = self.cfg.compute_dtype
+        w = self.cfg.width_multiplier
+        x = x.astype(common._dtype(d))
+        x = common.ConvRelu(_w(w, 32), stride=2, compute_dtype=d,
+                            name="conv1")(x)          # stride 2
+        x = common.SepConvRelu(_w(w, 64), compute_dtype=d, name="dw1")(x)
+        x = common.SepConvRelu(_w(w, 128), stride=2, compute_dtype=d,
+                               name="dw2")(x)         # stride 4
+        x = common.SepConvRelu(_w(w, 128), compute_dtype=d, name="dw3")(x)
+        feat_s4 = x
+        x = common.SepConvRelu(_w(w, 256), stride=2, compute_dtype=d,
+                               name="dw4")(x)         # stride 8
+        x = common.SepConvRelu(_w(w, 256), compute_dtype=d, name="dw5")(x)
+        x = common.SepConvRelu(_w(w, 512), compute_dtype=d, name="dw6")(x)
+        for i in range(3):
+            x = common.SepConvRelu(_w(w, 512), compute_dtype=d,
+                                   name=f"dw{7 + i}")(x)
+        # Multi-scale concat: pool the stride-4 features onto the stride-8
+        # grid and fuse (reference concatenates multiple backbone taps).
+        pooled = nn.max_pool(feat_s4, (2, 2), strides=(2, 2))
+        feature = jnp.concatenate([pooled, x], axis=-1)
+        confs, pafs = common.MultiStageHead(
+            n_heatmaps=self.cfg.n_heatmaps, n_pafs=self.cfg.n_pafs,
+            n_stages=self.cfg.n_stages,
+            stage1_convs=3, stage1_kernel=3, stage1_proj=256,
+            refine_convs=3, refine_kernel=7, refine_mid=128,
+            separable=True, compute_dtype=d, name="stages")(feature)
+        return dict(conf=confs, paf=pafs, feature=feature)

@@ -1,0 +1,33 @@
+"""VGG-tiny: slimmed VGG backbone, same two-branch stage structure.
+
+Behavior-level match of the reference's models_vggtiny.py [MED exact
+channel plan; empty mount — SURVEY.md §2 "VGG-tiny model"]: roughly half
+the channels and depth of VGG19, 3x3 refinement convs, fewer stages by
+default — the mid-size speed/accuracy point of the zoo.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+
+from openpose_plus_tpu.config import ModelConfig
+from openpose_plus_tpu.models import common
+
+
+class VGGTinyPose(nn.Module):
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x):
+        d = self.cfg.compute_dtype
+        x = x.astype(common._dtype(d))
+        x = common.vgg_block(x, (32, 32), d, "conv1")
+        x = common.vgg_block(x, (64, 64), d, "conv2")
+        x = common.vgg_block(x, (128, 128, 128), d, "conv3")
+        x = common.vgg_block(x, (256, 128), d, "conv4", pool=False)
+        feature = x
+        confs, pafs = common.MultiStageHead(
+            n_heatmaps=self.cfg.n_heatmaps, n_pafs=self.cfg.n_pafs,
+            n_stages=self.cfg.n_stages, refine_kernel=3, refine_convs=5,
+            compute_dtype=d, name="stages")(feature)
+        return dict(conf=confs, paf=pafs, feature=feature)

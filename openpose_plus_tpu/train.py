@@ -1,0 +1,117 @@
+"""Training: deep-supervision loss, optimizer, jit'd sharded train step.
+
+TPU-native rebuild of the reference training driver (train.py ::
+single_train / parallel_train [HIGH; empty mount — SURVEY.md §2/§3]):
+
+  * loss: sum over stages of masked L2 on (conf, paf) vs GT + weight decay
+  * optimizer: Adam (or momentum SGD) with stepwise lr decay
+  * single-device and multi-device training are the SAME jit'd step — the
+    mesh sharding (parallel/sharding.py) turns it data-parallel, with
+    XLA-inserted gradient psums replacing KungFu's all-reduce
+  * checkpointing via orbax (reference: tl.files.save_npz_dict)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from openpose_plus_tpu.config import Config, TrainConfig
+from openpose_plus_tpu.models import get_model
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+
+def lr_schedule(cfg: TrainConfig) -> optax.Schedule:
+    """Stepwise-decay schedule (reference config.TRAIN: lr_init with
+    factor decay every lr_decay_every steps, staircase)."""
+    return optax.exponential_decay(
+        init_value=cfg.lr_init,
+        transition_steps=cfg.lr_decay_every,
+        decay_rate=cfg.lr_decay_factor,
+        staircase=True)
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    sched = lr_schedule(cfg)
+    if cfg.optimizer == "adam":
+        tx = optax.adam(sched)
+    elif cfg.optimizer == "momentum":
+        tx = optax.sgd(sched, momentum=cfg.momentum)
+    else:
+        raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+    if cfg.weight_decay:
+        # reference applies L2 regularization to conv kernels only; masking
+        # to >=2D leaves excludes biases.
+        mask = lambda params: jax.tree.map(lambda p: p.ndim >= 2, params)
+        tx = optax.chain(optax.add_decayed_weights(cfg.weight_decay, mask), tx)
+    return tx
+
+
+def pose_loss(outputs: dict, gt_conf: jax.Array, gt_paf: jax.Array,
+              mask: Optional[jax.Array] = None) -> tuple[jax.Array, dict]:
+    """Deep-supervision masked L2 (reference train.py loss [HIGH behavior]).
+
+    total = sum over stages of mean_batch[ sum_pixels mask*(pred-gt)^2 ]
+    for both branches. mask: (B, h, w, 1) with 0 over unannotated regions.
+    """
+    if mask is None:
+        mask = jnp.ones_like(gt_conf[..., :1])
+    total = 0.0
+    last_conf = last_paf = 0.0
+    for conf, paf in zip(outputs["conf"], outputs["paf"]):
+        conf = conf.astype(jnp.float32)
+        paf = paf.astype(jnp.float32)
+        l_conf = jnp.mean(jnp.sum(
+            ((conf - gt_conf) * mask) ** 2, axis=(1, 2, 3)))
+        l_paf = jnp.mean(jnp.sum(
+            ((paf - gt_paf) * mask) ** 2, axis=(1, 2, 3)))
+        total = total + l_conf + l_paf
+        last_conf, last_paf = l_conf, l_paf
+    metrics = {"loss_conf_last": last_conf, "loss_paf_last": last_paf}
+    return total, metrics
+
+
+def create_train_state(config: Config, rng: jax.Array) -> TrainState:
+    model = get_model(config.model)
+    dummy = jnp.zeros((1, config.model.hin, config.model.win, 3), jnp.float32)
+    params = model.init(rng, dummy)
+    tx = make_optimizer(config.train)
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      opt_state=tx.init(params))
+
+
+def make_train_step(config: Config):
+    """Build the jit'd train step. Donates the state buffers (in-place
+    update on device). Works identically on 1 device or a full mesh: give
+    sharded inputs and XLA handles the gradient reduction."""
+    model = get_model(config.model)
+    tx = make_optimizer(config.train)
+
+    def step_fn(state: TrainState, images, gt_conf, gt_paf, mask):
+        def loss_fn(params):
+            out = model.apply(params, images)
+            return pose_loss(out, gt_conf, gt_paf, mask)
+
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=params,
+                               opt_state=opt_state)
+        metrics = dict(metrics, loss=loss,
+                       lr=lr_schedule(config.train)(state.step))
+        return new_state, metrics
+
+    donate = (0,) if config.train.donate_state else ()
+    return jax.jit(step_fn, donate_argnums=donate)

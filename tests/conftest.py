@@ -6,14 +6,13 @@ f32 so oracle-parity tests are deterministic. The real-chip benchmark path
 lives in bench.py, which does NOT import this file.
 """
 
-import os
+# The axon sitecustomize force-registers the TPU backend and overrides
+# JAX_PLATFORMS programmatically, so the env var alone is ignored; config
+# updates before any backend init actually select the 8-device CPU mesh.
+import jax  # noqa: E402
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault(
-    "XLA_FLAGS",
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
-)
+jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

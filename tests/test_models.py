@@ -1,0 +1,62 @@
+"""Model zoo shape/jit tests (the reference had only build-smoke tests;
+SURVEY.md §4 — we additionally check stage counts, dtype policy, and jit)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openpose_plus_tpu.config import ModelConfig
+from openpose_plus_tpu.models import get_model, model_names
+
+
+@pytest.mark.parametrize("name", ["vgg19", "vggtiny", "mobilenet_thin", "hao28"])
+def test_model_shapes(name):
+    # Small input keeps CPU compile fast; conv nets are resolution-agnostic.
+    cfg = ModelConfig(name=name, hin=64, win=96, n_stages=3,
+                      compute_dtype="float32")
+    model = get_model(cfg)
+    x = jnp.zeros((2, cfg.hin, cfg.win, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = jax.jit(model.apply)(params, x)
+    assert len(out["conf"]) == cfg.n_stages
+    assert len(out["paf"]) == cfg.n_stages
+    for c, p in zip(out["conf"], out["paf"]):
+        assert c.shape == (2, cfg.hout, cfg.wout, cfg.n_heatmaps)
+        assert p.shape == (2, cfg.hout, cfg.wout, cfg.n_pafs)
+        assert c.dtype == jnp.float32
+
+
+def test_bf16_compute_f32_params_and_outputs():
+    cfg = ModelConfig(name="vggtiny", hin=64, win=64, n_stages=2,
+                      compute_dtype="bfloat16")
+    model = get_model(cfg)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    leaves = jax.tree_util.tree_leaves(params)
+    assert all(l.dtype == jnp.float32 for l in leaves)
+    out = model.apply(params, x)
+    # final per-stage predictions are float32 for the decoder
+    assert out["conf"][-1].dtype == jnp.float32
+    assert out["paf"][-1].dtype == jnp.float32
+
+
+def test_registry_aliases_and_errors():
+    assert set(model_names()) >= {"vgg19", "vggtiny", "mobilenet_thin",
+                                  "hao28", "vgg", "mobilenet"}
+    with pytest.raises(ValueError, match="unknown model"):
+        get_model(ModelConfig(name="nope"))
+
+
+def test_deep_supervision_stages_differ():
+    """Later stages must actually refine (different params -> different maps)."""
+    cfg = ModelConfig(name="vggtiny", hin=64, win=64, n_stages=2,
+                      compute_dtype="float32")
+    model = get_model(cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(params, x)
+    assert not np.allclose(np.asarray(out["conf"][0]),
+                           np.asarray(out["conf"][1]))
