@@ -76,6 +76,7 @@ class DataConfig:
     rotate_max_deg: float = 40.0
     scale_min: float = 0.5
     scale_max: float = 1.1
+    shift_frac: float = 0.25   # random-crop center shift, fraction of frame
     flip_prob: float = 0.5
     sigma: float = 8.0           # GT heatmap Gaussian sigma (input pixels)
     limb_width: float = 8.0      # GT PAF band half-width (input pixels)

@@ -1,0 +1,281 @@
+"""COCO keypoint evaluation: OKS matching + AP, distributed over hosts.
+
+The reference evaluates with pycocotools COCOeval (SURVEY.md §2 "Python
+examples / eval" [MED]); pycocotools is not installed in this environment,
+so the keypoint-OKS AP protocol is implemented here directly:
+
+  * OKS(det, gt) = mean over labeled gt keypoints of
+      exp(-d_i^2 / (2 * area * (2*sigma_i)^2))
+  * per image, detections (sorted by score) greedily match the unmatched
+    GT with the highest OKS (COCOeval's keypoint matching)
+  * AP = mean over OKS thresholds 0.50:0.05:0.95 of the 101-point
+    interpolated precision-recall integral; maxDets=20
+  * AP50 / AP75 / AR also reported
+
+Multi-host: each process evaluates its slice of val2017
+(parallel/sharding.py :: process_local_slice) and detections merge via
+multihost_utils.process_allgather — the TPU-native analogue of the
+reference's per-worker eval + gather.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterable, Optional, Sequence
+
+import numpy as np
+
+from openpose_plus_tpu import skeleton
+from openpose_plus_tpu.postproc import HumanBatch
+
+OKS_THRESHOLDS = np.arange(0.5, 1.0, 0.05)
+RECALL_GRID = np.linspace(0, 1, 101)
+MAX_DETS = 20
+
+
+@dataclasses.dataclass
+class Detection:
+    image_id: int
+    keypoints: np.ndarray   # (17, 3) x, y, confidence in ORIGINAL pixels
+    score: float
+
+
+def humans_to_detections(humans: HumanBatch, batch_index: int, image_id: int,
+                         scale: float, pad: tuple[float, float],
+                         hin: int, win: int) -> list[Detection]:
+    """HumanBatch row -> COCO-17 detections in original image coordinates.
+
+    Normalized net-space coords are unpadded/unscaled with the letterbox
+    transform (data/augment.py :: letterbox).
+    """
+    out = []
+    valid = np.asarray(humans.valid[batch_index])
+    coords = np.asarray(humans.coords[batch_index])
+    pvalid = np.asarray(humans.part_valid[batch_index])
+    pscore = np.asarray(humans.part_scores[batch_index])
+    hscore = np.asarray(humans.score[batch_index])
+    for m in np.nonzero(valid)[0]:
+        kp = np.zeros((17, 3), np.float32)
+        for c, part in enumerate(skeleton.COCO_FROM_OPENPOSE):
+            if not pvalid[m, part]:
+                continue
+            x = (coords[m, part, 0] * win - pad[0]) / scale
+            y = (coords[m, part, 1] * hin - pad[1]) / scale
+            kp[c] = (x, y, pscore[m, part])
+        out.append(Detection(image_id=image_id, keypoints=kp,
+                             score=float(hscore[m])))
+    return out
+
+
+def compute_oks(det: np.ndarray, gt: np.ndarray, area: float) -> float:
+    """OKS between one detection and one GT annotation ((17, 3) each)."""
+    labeled = gt[:, 2] > 0
+    if not labeled.any():
+        return 0.0
+    k = 2.0 * skeleton.COCO_OKS_SIGMAS
+    d2 = (det[:, 0] - gt[:, 0]) ** 2 + (det[:, 1] - gt[:, 1]) ** 2
+    s2 = max(float(area), 1.0)
+    e = d2 / (2.0 * s2 * k * k)
+    return float(np.mean(np.exp(-e[labeled])))
+
+
+@dataclasses.dataclass
+class EvalResult:
+    ap: float
+    ap50: float
+    ap75: float
+    ar: float
+    n_images: int
+    n_dets: int
+
+    def as_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+def evaluate_detections(
+    detections: Sequence[Detection],
+    gt_by_image: dict[int, tuple[np.ndarray, np.ndarray]],
+) -> EvalResult:
+    """AP over {image_id: (gt_keypoints (G,17,3), areas (G,))}."""
+    # Per image: sort dets by score, greedy-match to best unmatched GT.
+    matches: list[tuple[float, np.ndarray]] = []  # (det score, per-thr TP)
+    n_gt = 0
+    by_img: dict[int, list[Detection]] = {}
+    for d in detections:
+        by_img.setdefault(d.image_id, []).append(d)
+
+    n_thr = len(OKS_THRESHOLDS)
+    for img_id, (gts, areas) in gt_by_image.items():
+        labeled = [(g, a) for g, a in zip(gts, areas) if (g[:, 2] > 0).any()]
+        n_gt += len(labeled)
+        dets = sorted(by_img.get(img_id, []), key=lambda d: -d.score)[:MAX_DETS]
+        if not dets:
+            continue
+        hits = np.zeros((len(dets), n_thr), bool)
+        if labeled:
+            oks = np.array([[compute_oks(d.keypoints, g, a)
+                             for g, a in labeled] for d in dets])
+            for ti, thr in enumerate(OKS_THRESHOLDS):
+                used = np.zeros(len(labeled), bool)
+                for i in range(len(dets)):
+                    free = ~used & (oks[i] >= thr)
+                    if free.any():
+                        j = int(np.argmax(np.where(free, oks[i], -1.0)))
+                        used[j] = True
+                        hits[i, ti] = True
+        for i, d in enumerate(dets):
+            matches.append((d.score, hits[i]))
+
+    if n_gt == 0:
+        return EvalResult(0.0, 0.0, 0.0, 0.0, len(gt_by_image), len(detections))
+
+    if not matches:
+        return EvalResult(0.0, 0.0, 0.0, 0.0, len(gt_by_image), 0)
+
+    order = np.argsort([-s for s, _ in matches], kind="stable")
+    tp = np.stack([matches[i][1] for i in order])      # (D, T)
+    aps, ars = [], []
+    for ti in range(len(OKS_THRESHOLDS)):
+        cum_tp = np.cumsum(tp[:, ti])
+        cum_fp = np.cumsum(~tp[:, ti])
+        recall = cum_tp / n_gt
+        precision = cum_tp / np.maximum(cum_tp + cum_fp, 1)
+        # monotone precision envelope + 101-point interpolation (COCOeval)
+        for i in range(len(precision) - 1, 0, -1):
+            precision[i - 1] = max(precision[i - 1], precision[i])
+        idx = np.searchsorted(recall, RECALL_GRID, side="left")
+        p = np.where(idx < len(precision), precision[np.minimum(
+            idx, len(precision) - 1)], 0.0)
+        aps.append(p.mean())
+        ars.append(recall[-1] if len(recall) else 0.0)
+    aps = np.asarray(aps)
+    return EvalResult(
+        ap=float(aps.mean()),
+        ap50=float(aps[0]),
+        ap75=float(aps[5]),
+        ar=float(np.mean(ars)),
+        n_images=len(gt_by_image),
+        n_dets=len(detections),
+    )
+
+
+def evaluate_engine(engine, dataset, batch_size: int = 8,
+                    limit: Optional[int] = None,
+                    distributed: bool = False) -> EvalResult:
+    """Run the engine over a CocoPoseDataset slice and compute AP.
+
+    With distributed=True each process evaluates its
+    process_local_slice and detections are gathered across hosts.
+    """
+    import jax
+
+    from openpose_plus_tpu.data.augment import letterbox
+    from openpose_plus_tpu.data.pipeline import _load_image
+    from openpose_plus_tpu.parallel.sharding import process_local_slice
+
+    n = len(dataset) if limit is None else min(limit, len(dataset))
+    lo, hi = process_local_slice(n) if distributed else (0, n)
+
+    m = engine.config.model
+    dets: list[Detection] = []
+    gt_by_image: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    batch_imgs, batch_meta = [], []
+
+    def flush():
+        nonlocal batch_imgs, batch_meta
+        if not batch_imgs:
+            return
+        real = len(batch_imgs)
+        while len(batch_imgs) < batch_size:   # pad the last batch
+            batch_imgs.append(np.zeros_like(batch_imgs[0]))
+            batch_meta.append(None)
+        humans = engine.infer(np.stack(batch_imgs))
+        jax.block_until_ready(humans)
+        for b in range(real):
+            img_id, scale, pad = batch_meta[b]
+            dets.extend(humans_to_detections(
+                humans, b, img_id, scale, pad, m.hin, m.win))
+        batch_imgs, batch_meta = [], []
+
+    for i in range(lo, hi):
+        s = dataset[i]
+        img = _load_image(s.image_path)
+        net_img, scale, pad = letterbox(img, m.hin, m.win)
+        batch_imgs.append(net_img)
+        batch_meta.append((s.image_id, scale, pad))
+        gt_by_image[s.image_id] = (s.keypoints_coco, s.areas)
+        if len(batch_imgs) == batch_size:
+            flush()
+    flush()
+
+    if distributed:
+        from jax.experimental import multihost_utils
+
+        payload = _pack_detections(dets)
+        gathered = multihost_utils.process_allgather(payload)
+        dets = _unpack_detections(gathered)
+        # every process must also see every GT: gather the ids+gt arrays
+        # (small) the same way
+        gt_payload = _pack_gt(gt_by_image)
+        gt_by_image = _unpack_gt(multihost_utils.process_allgather(gt_payload))
+    return evaluate_detections(dets, gt_by_image)
+
+
+# ---------------------------------------------------- multihost packing ---
+
+def _pack_detections(dets: list[Detection]) -> np.ndarray:
+    """Fixed-width float rows [image_id, score, 51x kp] for allgather."""
+    out = np.zeros((max(len(dets), 1), 53), np.float32)
+    for i, d in enumerate(dets):
+        out[i, 0] = d.image_id
+        out[i, 1] = d.score
+        out[i, 2:] = d.keypoints.reshape(-1)
+    if not dets:
+        out[0, 0] = -1.0
+    return out
+
+
+def _unpack_detections(arr: np.ndarray) -> list[Detection]:
+    arr = np.asarray(arr).reshape(-1, 53)
+    out = []
+    for row in arr:
+        if row[0] < 0:
+            continue
+        out.append(Detection(image_id=int(row[0]), score=float(row[1]),
+                             keypoints=row[2:].reshape(17, 3)))
+    return out
+
+
+def _pack_gt(gt: dict[int, tuple[np.ndarray, np.ndarray]],
+             max_people: int = 32) -> np.ndarray:
+    rows = []
+    for img_id, (kps, areas) in gt.items():
+        row = np.zeros((1 + max_people * 52,), np.float32)
+        row[0] = img_id
+        for p in range(min(len(kps), max_people)):
+            base = 1 + p * 52
+            row[base] = areas[p] if p < len(areas) else 0.0
+            row[base + 1: base + 52] = kps[p].reshape(-1)
+        rows.append(row)
+    if not rows:
+        rows.append(np.full((1 + max_people * 52,), -1.0, np.float32))
+    return np.stack(rows)
+
+
+def _unpack_gt(arr: np.ndarray, max_people: int = 32
+               ) -> dict[int, tuple[np.ndarray, np.ndarray]]:
+    arr = np.asarray(arr).reshape(-1, 1 + max_people * 52)
+    out: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for row in arr:
+        if row[0] < 0:
+            continue
+        kps, areas = [], []
+        for p in range(max_people):
+            base = 1 + p * 52
+            kp = row[base + 1: base + 52].reshape(17, 3)
+            if (kp[:, 2] > 0).any():
+                kps.append(kp)
+                areas.append(row[base])
+        if kps:
+            out[int(row[0])] = (np.stack(kps), np.asarray(areas, np.float32))
+    return out

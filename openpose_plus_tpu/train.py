@@ -115,3 +115,140 @@ def make_train_step(config: Config):
 
     donate = (0,) if config.train.donate_state else ()
     return jax.jit(step_fn, donate_argnums=donate)
+
+
+def make_train_step_on_batch(config: Config):
+    """jit'd step over a raw pipeline batch {'images' u8, 'keypoints',
+    'mask'}: uint8 normalize AND GT heatmap/PAF synthesis run on-device
+    inside the step (the reference's host-side get_heatmap/get_vectormap
+    bottleneck, eliminated — SURVEY.md §3.1)."""
+    from openpose_plus_tpu.data.targets import make_targets_batch
+    from openpose_plus_tpu.engine import preprocess_images
+
+    model = get_model(config.model)
+    tx = make_optimizer(config.train)
+
+    def step_fn(state: TrainState, batch):
+        images = preprocess_images(batch["images"])
+        gt_conf, gt_paf = make_targets_batch(
+            batch["keypoints"], config.model, config.data)
+        mask = batch["mask"]
+
+        def loss_fn(params):
+            out = model.apply(params, images)
+            return pose_loss(out, gt_conf, gt_paf, mask)
+
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=params,
+                               opt_state=opt_state)
+        metrics = dict(metrics, loss=loss,
+                       lr=lr_schedule(config.train)(state.step))
+        return new_state, metrics
+
+    donate = (0,) if config.train.donate_state else ()
+    return jax.jit(step_fn, donate_argnums=donate)
+
+
+def train_loop(config: Config, n_steps: Optional[int] = None,
+               resume: bool = True, log=print) -> TrainState:
+    """Full training driver (reference train.py :: single_train /
+    parallel_train): mesh setup, host pipeline, on-device GT synthesis,
+    periodic logging + orbax checkpoints. Single-chip and multi-chip use
+    the same code path — only the mesh size changes."""
+    import time
+
+    from openpose_plus_tpu import checkpoint as ckpt
+    from openpose_plus_tpu.data.coco import CocoPoseDataset
+    from openpose_plus_tpu.data.pipeline import TrainPipeline
+    from openpose_plus_tpu.parallel import sharding as S
+
+    S.init_multihost(config.parallel)
+    mesh = S.build_mesh(config.parallel)
+    n_data = mesh.shape[config.parallel.data_axis]
+    if config.train.batch_size % n_data:
+        raise ValueError(
+            f"batch_size {config.train.batch_size} must be divisible by the "
+            f"data mesh axis ({n_data} devices)")
+    n_steps = n_steps or config.train.n_steps
+
+    state = create_train_state(config, jax.random.PRNGKey(config.train.seed))
+    start_step = 0
+    ckpt_dir = config.train.checkpoint_dir
+    if resume and ckpt.latest_step(ckpt_dir) is not None:
+        state = ckpt.restore(ckpt_dir, state)
+        start_step = int(state.step)
+        log(f"resumed from step {start_step}")
+    state = jax.device_put(state, S.replicated(mesh))
+
+    dataset = CocoPoseDataset(config.data.train_annotations,
+                              config.data.train_images)
+    pipeline = TrainPipeline(dataset, config,
+                             seed=config.train.seed + jax.process_index())
+    step_fn = make_train_step_on_batch(config)
+
+    it = iter(pipeline)
+    t0 = time.perf_counter()
+    imgs_since = 0
+    try:
+        for i in range(start_step, n_steps):
+            batch = S.shard_batch(next(it), mesh)
+            state, metrics = step_fn(state, batch)
+            imgs_since += batch["images"].shape[0]
+            if (i + 1) % config.train.log_every == 0:
+                jax.block_until_ready(metrics)
+                dt = time.perf_counter() - t0
+                log(f"step {i + 1} loss {float(metrics['loss']):.2f} "
+                    f"lr {float(metrics['lr']):.2e} "
+                    f"{imgs_since / dt:.1f} img/s")
+                t0 = time.perf_counter()
+                imgs_since = 0
+            if (i + 1) % config.train.checkpoint_every == 0:
+                if jax.process_index() == 0:
+                    ckpt.save(ckpt_dir, jax.device_get(state), i + 1)
+    finally:
+        pipeline.stop()
+    return state
+
+
+def main(argv: Optional[list[str]] = None) -> None:
+    """CLI mirroring the reference `python train.py --model=... [--parallel]`."""
+    import argparse
+    import dataclasses
+
+    p = argparse.ArgumentParser(description="Train a pose model on TPU")
+    p.add_argument("--model", default="vgg19")
+    p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--parallel", action="store_true",
+                   help="multi-host: jax.distributed.initialize()")
+    p.add_argument("--spatial", type=int, default=1,
+                   help="spatial-parallel shards of the image height")
+    p.add_argument("--train-images", default=None)
+    p.add_argument("--train-annotations", default=None)
+    p.add_argument("--checkpoint-dir", default=None)
+    args = p.parse_args(argv)
+
+    from openpose_plus_tpu.config import default_config
+
+    cfg = default_config(args.model)
+    tr = cfg.train
+    if args.batch_size:
+        tr = dataclasses.replace(tr, batch_size=args.batch_size)
+    if args.checkpoint_dir:
+        tr = dataclasses.replace(tr, checkpoint_dir=args.checkpoint_dir)
+    da = cfg.data
+    if args.train_images:
+        da = dataclasses.replace(da, train_images=args.train_images)
+    if args.train_annotations:
+        da = dataclasses.replace(da, train_annotations=args.train_annotations)
+    pa = dataclasses.replace(cfg.parallel, multihost=args.parallel,
+                             spatial_parallelism=args.spatial)
+    cfg = cfg.replace(train=tr, data=da, parallel=pa)
+    train_loop(cfg, n_steps=args.steps)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""OKS/AP evaluator tests: perfect, perturbed, and false-positive regimes."""
+
+import numpy as np
+import pytest
+
+from openpose_plus_tpu import eval_coco as E
+
+
+def _gt_person(rng, cx, cy, spread=40.0):
+    kp = np.zeros((17, 3), np.float32)
+    kp[:, 0] = cx + rng.uniform(-spread, spread, 17)
+    kp[:, 1] = cy + rng.uniform(-spread, spread, 17)
+    kp[:, 2] = 2
+    return kp
+
+
+def _make_scene(rng, n_images=4, people_per=3):
+    gt = {}
+    dets = []
+    for img in range(n_images):
+        ppl = [_gt_person(rng, 100 + 150 * p, 120) for p in range(people_per)]
+        areas = np.full(people_per, 10000.0, np.float32)
+        gt[img] = (np.stack(ppl), areas)
+        for p, kp in enumerate(ppl):
+            d = kp.copy()
+            d[:, 2] = 0.9
+            dets.append(E.Detection(image_id=img, keypoints=d,
+                                    score=1.0 - 0.01 * p))
+    return gt, dets
+
+
+def test_perfect_detections_ap1(rng):
+    gt, dets = _make_scene(rng)
+    r = E.evaluate_detections(dets, gt)
+    assert r.ap == pytest.approx(1.0, abs=1e-6)
+    assert r.ap50 == pytest.approx(1.0, abs=1e-6)
+    assert r.ar == pytest.approx(1.0, abs=1e-6)
+
+
+def test_missing_people_reduce_recall(rng):
+    gt, dets = _make_scene(rng, n_images=2, people_per=4)
+    half = [d for i, d in enumerate(dets) if i % 2 == 0]
+    r = E.evaluate_detections(half, gt)
+    assert 0.4 < r.ap < 0.6
+    assert r.ar == pytest.approx(0.5, abs=1e-6)
+
+
+def test_false_positives_reduce_ap(rng):
+    gt, dets = _make_scene(rng)
+    # add confident junk detections far from anyone
+    junk = []
+    for img in gt:
+        kp = np.full((17, 3), 5000.0, np.float32)
+        kp[:, 2] = 0.95
+        junk.append(E.Detection(image_id=img, keypoints=kp, score=2.0))
+    r_clean = E.evaluate_detections(dets, gt)
+    r_junk = E.evaluate_detections(dets + junk, gt)
+    assert r_junk.ap < r_clean.ap
+
+
+def test_perturbation_degrades_smoothly(rng):
+    gt, dets = _make_scene(rng)
+    last = 1.1
+    for noise in (2.0, 12.0, 40.0):
+        nd = []
+        for d in dets:
+            kp = d.keypoints.copy()
+            kp[:, :2] += rng.normal(0, noise, (17, 2))
+            nd.append(E.Detection(d.image_id, kp, d.score))
+        r = E.evaluate_detections(nd, gt)
+        assert r.ap < last + 1e-9
+        last = r.ap
+    assert last < 0.2  # 40px noise on ~100px people destroys AP
+
+
+def test_oks_identity_and_scale(rng):
+    kp = _gt_person(rng, 100, 100)
+    assert E.compute_oks(kp, kp, 5000.0) == pytest.approx(1.0)
+    shifted = kp.copy()
+    shifted[:, 0] += 30
+    small = E.compute_oks(shifted, kp, 1000.0)
+    large = E.compute_oks(shifted, kp, 100000.0)
+    assert small < large  # same pixel error hurts small people more
+
+
+def test_detection_packing_roundtrip(rng):
+    gt, dets = _make_scene(rng, n_images=2)
+    packed = E._pack_detections(dets)
+    out = E._unpack_detections(packed)
+    assert len(out) == len(dets)
+    np.testing.assert_allclose(out[0].keypoints, dets[0].keypoints, rtol=1e-6)
+    gt2 = E._unpack_gt(E._pack_gt(gt))
+    assert set(gt2) == set(gt)
+    np.testing.assert_allclose(gt2[0][0], gt[0][0], rtol=1e-6)
