@@ -49,7 +49,10 @@ class PostprocConfig:
     reference's dynamic shapes so the whole stage jit-compiles.
     """
 
-    max_peaks: int = 32          # top-K peak cap per part channel
+    # Static capacities: decode cost scales ~K^2 (dense candidate scoring)
+    # and linearly in merge iterations; 16 covers COCO-style crowd scenes
+    # (peaks per part per image), 32+ is the high-fidelity setting.
+    max_peaks: int = 16          # top-K peak cap per part channel
     max_humans: int = 32         # skeleton slots per image
     peak_threshold: float = 0.05
     paf_n_samples: int = 10      # points sampled along each candidate limb
@@ -59,9 +62,18 @@ class PostprocConfig:
     min_human_score: float = 0.0
     # Upsampling applied to the net output maps before peak finding.
     # 1 = group at feature resolution with subpixel (quadratic) refinement;
-    # the reference upsamples ~8x and groups at image resolution.
-    upsample_factor: int = 4
-    smooth_sigma: float = 2.5    # Gaussian smoothing before NMS (pixels)
+    # the reference upsamples ~8x and groups at image resolution. 2 is the
+    # speed/precision sweet spot on TPU (subpixel refinement recovers the
+    # rest).
+    upsample_factor: int = 2
+    smooth_sigma: float = 1.25   # Gaussian smoothing before NMS (pixels)
+
+    def fidelity(self) -> "PostprocConfig":
+        """Reference-style high-fidelity settings (8x maps, deep peak cap)
+        for AP-parity evaluation."""
+        import dataclasses as _dc
+        return _dc.replace(self, max_peaks=32, upsample_factor=8,
+                           smooth_sigma=5.0)
 
 
 @dataclasses.dataclass(frozen=True)
