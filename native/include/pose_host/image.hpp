@@ -1,0 +1,18 @@
+// Decoded image + preprocessing declarations (see src/image.cpp).
+#pragma once
+
+#include <cstdint>
+#include <vector>
+
+namespace pose_host {
+
+struct Image {
+  int w = 0, h = 0;
+  std::vector<std::uint8_t> rgb;  // HWC, RGB
+};
+
+bool decode_image(const char* path, Image* out);
+void letterbox_resize(const Image& src, int hin, int win, std::uint8_t* dst,
+                      float* scale_out, float* pad_out);
+
+}  // namespace pose_host

@@ -1,0 +1,161 @@
+// Image decode + letterbox preprocessing (native host stage).
+//
+// TPU-native rebuild of the reference's C++ input path (src/input.cpp
+// [LOW name; empty reference mount — SURVEY.md §2]): JPEG/PNG decode via
+// libjpeg/libpng, bilinear letterbox resize into the fixed network input
+// geometry. Normalization to float happens ON DEVICE (engine.py), so this
+// stage moves only uint8 — 4x less PCIe/tunnel traffic than the
+// reference's float CHW uploads.
+
+#include <algorithm>
+#include <csetjmp>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <vector>
+
+#include <jpeglib.h>
+#include <png.h>
+
+#include "pose_host/image.hpp"
+#include "pose_host/tracer.hpp"
+
+namespace pose_host {
+
+namespace {
+
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  std::jmp_buf jb;
+};
+
+void jpeg_err_exit(j_common_ptr cinfo) {
+  auto* err = reinterpret_cast<JpegErr*>(cinfo->err);
+  std::longjmp(err->jb, 1);
+}
+
+bool decode_jpeg(FILE* f, Image* out) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  out->w = cinfo.output_width;
+  out->h = cinfo.output_height;
+  out->rgb.resize(std::size_t(out->w) * out->h * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW row = out->rgb.data() + std::size_t(cinfo.output_scanline) * out->w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return true;
+}
+
+bool decode_png(FILE* f, Image* out) {
+  png_byte header[8];
+  if (fread(header, 1, 8, f) != 8 || png_sig_cmp(header, 0, 8)) return false;
+  png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr,
+                                           nullptr, nullptr);
+  if (!png) return false;
+  png_infop info = png_create_info_struct(png);
+  if (!info || setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return false;
+  }
+  png_init_io(png, f);
+  png_set_sig_bytes(png, 8);
+  png_read_info(png, info);
+  png_set_expand(png);
+  png_set_strip_16(png);
+  png_set_strip_alpha(png);
+  png_set_gray_to_rgb(png);
+  png_read_update_info(png, info);
+  out->w = png_get_image_width(png, info);
+  out->h = png_get_image_height(png, info);
+  out->rgb.resize(std::size_t(out->w) * out->h * 3);
+  std::vector<png_bytep> rows(out->h);
+  for (int y = 0; y < out->h; ++y)
+    rows[y] = out->rgb.data() + std::size_t(y) * out->w * 3;
+  png_read_image(png, rows.data());
+  png_destroy_read_struct(&png, &info, nullptr);
+  return true;
+}
+
+}  // namespace
+
+bool decode_image(const char* path, Image* out) {
+  PH_TRACE_SCOPE("decode");
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return false;
+  unsigned char sig[2] = {0, 0};
+  if (std::fread(sig, 1, 2, f) != 2) {
+    std::fclose(f);
+    return false;
+  }
+  std::rewind(f);
+  bool ok = false;
+  if (sig[0] == 0xFF && sig[1] == 0xD8) {
+    ok = decode_jpeg(f, out);
+  } else if (sig[0] == 0x89 && sig[1] == 'P') {
+    ok = decode_png(f, out);
+  }
+  std::fclose(f);
+  return ok;
+}
+
+// Bilinear letterbox resize into a (hin, win, 3) uint8 RGB buffer
+// (half-pixel-center sampling, zero-padded borders). Writes the applied
+// scale and (pad_x, pad_y) so detections map back to source pixels —
+// identical math to data/augment.py :: letterbox.
+void letterbox_resize(const Image& src, int hin, int win, std::uint8_t* dst,
+                      float* scale_out, float* pad_out) {
+  PH_TRACE_SCOPE("resize");
+  const float scale =
+      std::min(float(win) / src.w, float(hin) / src.h);
+  const float pad_x = win / 2.0f - scale * src.w / 2.0f;
+  const float pad_y = hin / 2.0f - scale * src.h / 2.0f;
+  *scale_out = scale;
+  pad_out[0] = pad_x;
+  pad_out[1] = pad_y;
+  std::memset(dst, 0, std::size_t(hin) * win * 3);
+
+  const int x0 = std::max(0, int(pad_x));
+  const int x1 = std::min(win, int(pad_x + scale * src.w + 0.999f));
+  const int y0 = std::max(0, int(pad_y));
+  const int y1 = std::min(hin, int(pad_y + scale * src.h + 0.999f));
+
+  for (int y = y0; y < y1; ++y) {
+    const float sy = (y + 0.5f - pad_y) / scale - 0.5f;
+    const int iy = std::clamp(int(sy <= 0 ? 0 : sy), 0, src.h - 1);
+    const int iy1 = std::min(iy + 1, src.h - 1);
+    const float fy = sy <= 0 ? 0.0f : std::min(sy - iy, 1.0f);
+    const std::uint8_t* r0 = src.rgb.data() + std::size_t(iy) * src.w * 3;
+    const std::uint8_t* r1 = src.rgb.data() + std::size_t(iy1) * src.w * 3;
+    std::uint8_t* drow = dst + (std::size_t(y) * win + x0) * 3;
+    for (int x = x0; x < x1; ++x) {
+      const float sx = (x + 0.5f - pad_x) / scale - 0.5f;
+      const int ix = std::clamp(int(sx <= 0 ? 0 : sx), 0, src.w - 1);
+      const int ix1 = std::min(ix + 1, src.w - 1);
+      const float fx = sx <= 0 ? 0.0f : std::min(sx - ix, 1.0f);
+      for (int c = 0; c < 3; ++c) {
+        const float top = r0[ix * 3 + c] * (1 - fx) + r0[ix1 * 3 + c] * fx;
+        const float bot = r1[ix * 3 + c] * (1 - fx) + r1[ix1 * 3 + c] * fx;
+        *drow++ = std::uint8_t(top * (1 - fy) + bot * fy + 0.5f);
+      }
+    }
+  }
+}
+
+}  // namespace pose_host

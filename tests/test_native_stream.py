@@ -1,0 +1,136 @@
+"""Native host runtime tests: decode, letterbox parity with cv2, the
+threaded stream loader, tracer, and the stream estimator end-to-end."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+from openpose_plus_tpu import native
+
+cv2 = pytest.importorskip("cv2")
+
+pytestmark = pytest.mark.skipif(not native.is_available(),
+                                reason="libpose_host.so not built")
+
+
+def _gradient_image(h, w):
+    """Smooth content: JPEG-decoder differences (IDCT variants) stay tiny,
+    unlike random noise whose artifacts differ per decoder."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([xx * 255 // max(w - 1, 1),
+                    yy * 255 // max(h - 1, 1),
+                    (xx + yy) % 256], axis=-1)
+    return img.astype(np.uint8)
+
+
+@pytest.fixture
+def image_dir(tmp_path):
+    paths = []
+    for i, (h, w) in enumerate([(120, 160), (300, 200), (80, 80),
+                                (240, 320), (64, 400)]):
+        p = str(tmp_path / f"img{i}.jpg")
+        cv2.imwrite(p, cv2.cvtColor(_gradient_image(h, w), cv2.COLOR_RGB2BGR),
+                    [cv2.IMWRITE_JPEG_QUALITY, 95])
+        paths.append(p)
+    png = str(tmp_path / "img_png.png")
+    cv2.imwrite(png, cv2.cvtColor(_gradient_image(100, 150),
+                                  cv2.COLOR_RGB2BGR))
+    paths.append(png)
+    return paths
+
+
+def test_native_decode_matches_cv2(image_dir):
+    for p in image_dir:
+        out = native.load_image(p, 368, 432)
+        assert out is not None, p
+        img, scale, pads = out
+        assert img.shape == (368, 432, 3)
+        ref = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
+        from openpose_plus_tpu.data.augment import letterbox as lb
+        ref_img, ref_scale, ref_pads = lb(ref, 368, 432)
+        assert scale == pytest.approx(ref_scale, rel=1e-5)
+        assert pads[0] == pytest.approx(ref_pads[0], abs=0.51)
+        assert pads[1] == pytest.approx(ref_pads[1], abs=0.51)
+        # content parity (different bilinear impls; compare loosely)
+        diff = np.abs(img.astype(int) - ref_img.astype(int))
+        assert np.median(diff) <= 2
+        assert (diff > 30).mean() < 0.02
+
+
+def test_native_letterbox_raw_frame():
+    frame = _gradient_image(90, 200)
+    img, scale, pads = native.letterbox(frame, 368, 432)
+    assert img.shape == (368, 432, 3)
+    from openpose_plus_tpu.data.augment import letterbox as lb
+    ref_img, ref_scale, _ = lb(frame, 368, 432)
+    assert scale == pytest.approx(ref_scale, rel=1e-5)
+    diff = np.abs(img.astype(int) - ref_img.astype(int))
+    assert np.median(diff) <= 2
+
+
+def test_stream_loader_yields_all(image_dir):
+    loader = native.NativeStreamLoader(image_dir, 128, 160, batch=4,
+                                       workers=3, queue_capacity=2)
+    seen = []
+    for b in loader:
+        assert b["images"].shape[1:] == (128, 160, 3)
+        seen.extend(b["indices"].tolist())
+    loader.close()
+    assert sorted(seen) == list(range(len(image_dir)))
+
+
+def test_stream_loader_skips_bad_files(image_dir, tmp_path):
+    bad = str(tmp_path / "broken.jpg")
+    with open(bad, "wb") as f:
+        f.write(b"\xff\xd8not a real jpeg")
+    loader = native.NativeStreamLoader(image_dir + [bad, "/nonexistent.jpg"],
+                                       64, 64, batch=3, workers=2,
+                                       queue_capacity=2)
+    seen = []
+    for b in loader:
+        seen.extend(b["indices"].tolist())
+    loader.close()
+    assert sorted(seen) == list(range(len(image_dir)))
+
+
+def test_tracer_report(image_dir):
+    native.load_image(image_dir[0], 64, 64)
+    rep = native.tracer_report()
+    assert "decode" in rep and "resize" in rep
+
+
+def test_stream_estimator_end_to_end(image_dir):
+    from openpose_plus_tpu.config import default_config
+    from openpose_plus_tpu.engine import Engine
+    from openpose_plus_tpu.stream import StreamEstimator
+
+    cfg = default_config("vggtiny")
+    cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, hin=64, win=64, n_stages=2, compute_dtype="float32"))
+    eng = Engine(cfg)
+    est = StreamEstimator(eng, batch=2, workers=2)
+    results = list(est.run_files(image_dir))
+    got = sorted(i for r in results for i in r.indices.tolist())
+    assert got == list(range(len(image_dir)))
+    for r in results:
+        assert r.humans.coords.shape[0] == 2  # compiled batch shape
+
+
+def test_stream_estimator_frames(image_dir):
+    from openpose_plus_tpu.config import default_config
+    from openpose_plus_tpu.engine import Engine
+    from openpose_plus_tpu.stream import StreamEstimator
+
+    cfg = default_config("vggtiny")
+    cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, hin=64, win=64, n_stages=2, compute_dtype="float32"))
+    eng = Engine(cfg)
+    est = StreamEstimator(eng, batch=2)
+    rng = np.random.default_rng(2)
+    frames = [rng.integers(0, 255, (100, 120, 3), dtype=np.uint8)
+              for _ in range(5)]
+    results = list(est.run_frames(frames))
+    got = sorted(i for r in results for i in r.indices.tolist())
+    assert got == list(range(5))
