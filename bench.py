@@ -30,37 +30,57 @@ import time
 
 
 def _device_loop_seconds(engine, images, iters: int = 20) -> float:
-    """Mean seconds per end-to-end inference, timed as one device loop."""
+    """Mean seconds per end-to-end inference.
+
+    Iterations are chained through a scalar data dependence (the previous
+    result perturbs the next input), so the device MUST execute them
+    sequentially and the final tiny D2H forces completion of all of them —
+    honest timing on a remote-execution backend where per-call
+    block_until_ready can return early. Python-level chaining keeps the
+    compiled program the size of ONE engine step (a lax.fori_loop variant
+    compiles minutes-long programs on the remote-compile rig).
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from openpose_plus_tpu.engine import _infer_impl
+    from openpose_plus_tpu.engine import _infer_impl, preprocess_images
+    from openpose_plus_tpu.postproc import decode_maps
 
-    infer = functools.partial(_infer_impl, model=engine.model,
-                              postproc_cfg=engine.config.postproc)
+    model, pcfg = engine.model, engine.config.postproc
 
     @jax.jit
-    def loop(params, images, n):
-        def body(i, acc):
-            # vary the input so the body is not loop-invariant
-            out = infer(params, images + i.astype(jnp.uint8))
-            return acc + jnp.sum(out.score)
-        return jax.lax.fori_loop(0, n, body, 0.0)
+    def step(params, images, carry):
+        x = preprocess_images(images) + carry * 1e-12  # chain dependence
+        out = model.apply(params, x)
+        res = decode_maps(out["conf"][-1], out["paf"][-1], pcfg)
+        return jnp.sum(res.score)
 
-    # compile + warmup (materialized so compile time is excluded)
-    _ = np.asarray(loop(engine.params, images, 1))
+    carry = jnp.float32(0.0)
+    carry = step(engine.params, images, carry)   # compile + warmup
+    _ = np.asarray(carry)
+    # overhead estimate: one chained iteration + scalar D2H
     t1 = time.perf_counter()
-    _ = np.asarray(loop(engine.params, images, 1))
-    overhead = time.perf_counter() - t1  # dispatch + 1 iter + scalar D2H
+    _ = np.asarray(step(engine.params, images, carry))
+    overhead = time.perf_counter() - t1
     t0 = time.perf_counter()
-    _ = np.asarray(loop(engine.params, images, iters + 1))
+    for _ in range(iters + 1):
+        carry = step(engine.params, images, carry)
+    _ = np.asarray(carry)
     total = time.perf_counter() - t0
     return max(total - overhead, 1e-9) / iters
 
 
 def main() -> None:
     import jax
+
+    # Persistent compile cache: the three engine builds dominate bench
+    # wall-clock otherwise (XLA recompiles every run on this rig).
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
     import numpy as np
 
@@ -74,23 +94,18 @@ def main() -> None:
         cfg = default_config(model)
         cfg = cfg.replace(model=dataclasses.replace(cfg.model, hin=hin,
                                                     win=win))
-        eng = Engine(cfg)
+        eng = Engine(cfg, fast_init=True)
         images = jax.device_put(jnp.asarray(rng.integers(
             0, 255, (batch, hin, win, 3), dtype=np.uint8)))
         dt = _device_loop_seconds(eng, images)
         results[name] = round(batch / dt, 2)
 
-    # headline: BASELINE config #3 (bs=8 @368x656) on the flagship model
+    # headline: BASELINE config #3 (bs=8 @368x656) on the flagship model.
+    # Printed IMMEDIATELY (engine compiles dominate wall-clock on this rig;
+    # the secondary configs below must not delay the headline line).
     bench_engine("e2e_fps_per_chip_368x656_bs8", "mobilenet_thin", 368, 656, 8)
-    # BASELINE config #1: single 368x432 image
-    bench_engine("e2e_fps_single_368x432", "mobilenet_thin", 368, 432, 1)
-    # BASELINE config #2: VGG19 single image
-    bench_engine("e2e_fps_vgg19_single_368x656", "vgg19", 368, 656, 1)
 
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "bench_details.json"), "w") as f:
-        json.dump(results, f, indent=2)
-
     value = results["e2e_fps_per_chip_368x656_bs8"]
     baseline_path = os.path.join(here, "bench_baseline.json")
     if os.path.exists(baseline_path):
@@ -106,7 +121,19 @@ def main() -> None:
         "value": value,
         "unit": "frames/s",
         "vs_baseline": round(value / base, 3),
-    }))
+    }), flush=True)
+
+    if os.environ.get("BENCH_HEADLINE_ONLY"):
+        return
+    # secondary configs (recorded in bench_details.json)
+    try:
+        # BASELINE config #1: single 368x432 image
+        bench_engine("e2e_fps_single_368x432", "mobilenet_thin", 368, 432, 1)
+        # BASELINE config #2: VGG19 single image
+        bench_engine("e2e_fps_vgg19_single_368x656", "vgg19", 368, 656, 1)
+    finally:
+        with open(os.path.join(here, "bench_details.json"), "w") as f:
+            json.dump(results, f, indent=2)
 
 
 if __name__ == "__main__":

@@ -42,14 +42,27 @@ class Engine:
     """
 
     def __init__(self, config: Optional[Config] = None,
-                 params: Optional[Any] = None, seed: int = 0):
+                 params: Optional[Any] = None, seed: int = 0,
+                 fast_init: bool = False):
         self.config = config or default_config()
         self.model = get_model(self.config.model)
         if params is None:
             dummy = jnp.zeros(
                 (1, self.config.model.hin, self.config.model.win, 3),
                 jnp.float32)
-            params = self.model.init(jax.random.PRNGKey(seed), dummy)
+            if fast_init:
+                # Benchmark path: skip the jit-compiled initializer (it can
+                # cost minutes on remote-compile rigs) — numpy-filled params
+                # of the right structure; NOT for training/serving quality.
+                shapes = jax.eval_shape(
+                    lambda: self.model.init(jax.random.PRNGKey(seed), dummy))
+                rng = np.random.default_rng(seed)
+                params = jax.tree.map(
+                    lambda s: jnp.asarray(
+                        rng.normal(0.0, 0.05, s.shape).astype(s.dtype)),
+                    shapes)
+            else:
+                params = self.model.init(jax.random.PRNGKey(seed), dummy)
         self.params = params
         self._infer = jax.jit(functools.partial(
             _infer_impl, model=self.model, postproc_cfg=self.config.postproc))

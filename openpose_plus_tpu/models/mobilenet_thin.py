@@ -52,10 +52,13 @@ class MobileNetThinPose(nn.Module):
         # grid and fuse (reference concatenates multiple backbone taps).
         pooled = nn.max_pool(feat_s4, (2, 2), strides=(2, 2))
         feature = jnp.concatenate([pooled, x], axis=-1)
+        # 3x3 separable stage convs (the reference thin-model family's
+        # choice): a depthwise 7x7 over the 441-ch stage input is VPU-bound
+        # and ~2.5x the stage cost for no capacity gain.
         confs, pafs = common.MultiStageHead(
             n_heatmaps=self.cfg.n_heatmaps, n_pafs=self.cfg.n_pafs,
             n_stages=self.cfg.n_stages,
             stage1_convs=3, stage1_kernel=3, stage1_proj=256,
-            refine_convs=3, refine_kernel=7, refine_mid=128,
+            refine_convs=3, refine_kernel=3, refine_mid=128,
             separable=True, compute_dtype=d, name="stages")(feature)
         return dict(conf=confs, paf=pafs, feature=feature)
