@@ -40,8 +40,12 @@ class StreamLoader {
   StreamLoader(std::vector<std::string> paths, int hin, int win, int batch,
                int workers, int queue_capacity, bool loop)
       : paths_(std::move(paths)), hin_(hin), win_(win), batch_(batch),
-        loop_(loop), frames_(queue_capacity * std::max(batch, 1)),
+        loop_(loop), n_workers_(workers),
+        frames_(queue_capacity * std::max(batch, 1)),
         batches_(queue_capacity) {
+    // n_workers_ is fixed BEFORE spawning: a fast worker finishing while
+    // the constructor is still emplacing threads must not see a short
+    // workers_.size() and close the frame channel early (drops frames).
     for (int w = 0; w < workers; ++w)
       workers_.emplace_back([this] { decode_worker(); });
     collector_ = std::thread([this] { collect_worker(); });
@@ -92,7 +96,7 @@ class StreamLoader {
       }
       if (!frames_.push(std::move(f))) break;
     }
-    if (++workers_done_ == static_cast<int>(workers_.size())) frames_.close();
+    if (++workers_done_ == n_workers_) frames_.close();
   }
 
   void collect_worker() {
@@ -114,6 +118,7 @@ class StreamLoader {
   std::vector<std::string> paths_;
   int hin_, win_, batch_;
   bool loop_;
+  int n_workers_;
   std::atomic<std::size_t> next_index_{0};
   std::atomic<int> workers_done_{0};
   std::atomic<bool> stopping_{false};
