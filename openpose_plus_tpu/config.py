@@ -112,6 +112,10 @@ class TrainConfig:
     log_every: int = 100
     checkpoint_every: int = 5000
     checkpoint_dir: str = "checkpoints"
+    # Periodic predicted-vs-GT heatmap renders (reference draw_results
+    # dumps); 0 disables.
+    vis_every: int = 0
+    vis_dir: str = "vis"
     seed: int = 0
     donate_state: bool = True
 

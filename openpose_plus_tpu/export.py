@@ -1,0 +1,82 @@
+"""Serialized engine artifacts via jax.export.
+
+The reference freezes the TF graph and converts to .uff for its C++
+TensorRT runtime (scripts/export-uff.py + src/uff-runner.cpp [MED; empty
+mount — SURVEY.md §2 "UFF export"]). The TPU-native analogue: the whole
+end-to-end engine (uint8 preprocess -> CNN -> on-device grouping) is one
+jit program, exported as a self-contained StableHLO artifact that reloads
+and runs without the model-building Python code — weights baked in, like
+a frozen graph.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openpose_plus_tpu.engine import Engine, _infer_impl
+from openpose_plus_tpu.postproc import HumanBatch
+
+
+_MANIFEST = "manifest.json"
+_ARTIFACT = "engine.stablehlo.bin"
+
+
+def save_engine(engine: Engine, path: str, batch_size: int = 1) -> None:
+    """Export the engine for a fixed batch size to `path/` (dir)."""
+    from jax import export as jexport
+
+    m = engine.config.model
+    spec = jax.ShapeDtypeStruct((batch_size, m.hin, m.win, 3), jnp.uint8)
+
+    # Close over the params so the artifact is self-contained (frozen
+    # graph semantics — no Python model code needed at load time). The
+    # result is flattened to a plain dict: custom pytree types are not
+    # serializable by jax.export without registration.
+    def infer(images):
+        out = _infer_impl(engine.params, images, model=engine.model,
+                          postproc_cfg=engine.config.postproc)
+        return {"coords": out.coords, "part_scores": out.part_scores,
+                "part_valid": out.part_valid, "score": out.score,
+                "n_parts": out.n_parts, "valid": out.valid}
+
+    exported = jexport.export(jax.jit(infer))(spec)
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, _ARTIFACT), "wb") as f:
+        f.write(exported.serialize())
+    with open(os.path.join(path, _MANIFEST), "w") as f:
+        json.dump({
+            "model": m.name,
+            "batch_size": batch_size,
+            "hin": m.hin,
+            "win": m.win,
+            "format": "jax.export/StableHLO",
+            "platforms": list(exported.platforms),
+        }, f, indent=2)
+
+
+class ExportedEngine:
+    """Loaded artifact: infer(images u8 (B, hin, win, 3)) -> HumanBatch."""
+
+    def __init__(self, path: str):
+        from jax import export as jexport
+
+        with open(os.path.join(path, _MANIFEST)) as f:
+            self.manifest = json.load(f)
+        with open(os.path.join(path, _ARTIFACT), "rb") as f:
+            self._exported = jexport.deserialize(f.read())
+        self._call = jax.jit(self._exported.call)
+
+    def infer(self, images: np.ndarray | jax.Array) -> HumanBatch:
+        out = self._call(jnp.asarray(images))
+        return HumanBatch(**out)
+
+
+def load_engine(path: str) -> ExportedEngine:
+    return ExportedEngine(path)

@@ -208,9 +208,43 @@ def train_loop(config: Config, n_steps: Optional[int] = None,
             if (i + 1) % config.train.checkpoint_every == 0:
                 if jax.process_index() == 0:
                     ckpt.save(ckpt_dir, jax.device_get(state), i + 1)
+            if (config.train.vis_every
+                    and (i + 1) % config.train.vis_every == 0
+                    and jax.process_index() == 0):
+                _dump_vis(config, state, batch, i + 1)
     finally:
         pipeline.stop()
     return state
+
+
+def _dump_vis(config: Config, state: TrainState, batch, step: int) -> None:
+    """Render predicted vs GT heatmaps for the first batch image
+    (reference train.py draw_results dumps [HIGH behavior])."""
+    import os
+
+    import numpy as np
+
+    try:
+        import cv2
+    except ImportError:
+        return
+    from openpose_plus_tpu.data.targets import make_targets_batch
+    from openpose_plus_tpu.engine import preprocess_images
+    from openpose_plus_tpu.models import get_model
+    from openpose_plus_tpu.utils.vis import draw_maps_overlay
+
+    model = get_model(config.model)
+    images = batch["images"][:1]
+    out = jax.jit(model.apply)(state.params, preprocess_images(images))
+    pred = np.asarray(out["conf"][-1][0], np.float32)
+    gt, _ = make_targets_batch(batch["keypoints"][:1], config.model,
+                               config.data)
+    img = np.asarray(images[0], np.uint8)[:, :, ::-1]  # RGB -> BGR
+    os.makedirs(config.train.vis_dir, exist_ok=True)
+    cv2.imwrite(os.path.join(config.train.vis_dir, f"step{step}_pred.jpg"),
+                draw_maps_overlay(img, pred))
+    cv2.imwrite(os.path.join(config.train.vis_dir, f"step{step}_gt.jpg"),
+                draw_maps_overlay(img, np.asarray(gt[0])))
 
 
 def main(argv: Optional[list[str]] = None) -> None:

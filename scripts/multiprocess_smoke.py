@@ -1,0 +1,133 @@
+"""Multi-host smoke test: 2 processes on localhost, one global mesh.
+
+The reference validates its KungFu distributed path by launching
+`kungfu-run -np N` on one box — "multi-node-without-a-cluster" (SURVEY.md
+§4). TPU-native analogue: two processes call jax.distributed.initialize()
+against a localhost coordinator, each owning 4 virtual CPU devices, and
+run the SAME jit'd train step over the global (8-device) data mesh; XLA
+inserts the cross-process gradient reductions.
+
+Run directly (spawns its own children):   python scripts/multiprocess_smoke.py
+Child mode (internal):                    ... --child <rank> --port <p>
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+
+N_PROC = 2
+LOCAL_DEVICES = 4
+
+
+def child(rank: int, port: int) -> None:
+    import jax
+
+    jax.config.update("jax_num_cpu_devices", LOCAL_DEVICES)
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=N_PROC,
+        process_id=rank,
+    )
+    assert jax.process_count() == N_PROC
+    assert jax.device_count() == N_PROC * LOCAL_DEVICES
+
+    import dataclasses
+
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from openpose_plus_tpu import train as T
+    from openpose_plus_tpu.config import default_config
+    from openpose_plus_tpu.parallel import sharding as S
+
+    cfg = default_config("vggtiny")
+    cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model, hin=64, win=64, n_stages=2,
+                                  compute_dtype="float32"),
+        train=dataclasses.replace(cfg.train, batch_size=8,
+                                  weight_decay=0.0))
+    mesh = S.build_mesh(cfg.parallel)
+
+    state = T.create_train_state(cfg, jax.random.PRNGKey(0))
+    state = jax.device_put(state, S.replicated(mesh))
+
+    # Global batch assembled from per-process local shards (each process
+    # contributes batch/N samples) — the dataset.shard() analogue.
+    rng = np.random.default_rng(0)   # same stream; slice differs per rank
+    m = cfg.model
+    g = cfg.train.batch_size
+    images = rng.uniform(0, 255, (g, m.hin, m.win, 3)).astype(np.float32)
+    kp = np.zeros((g, 4, 18, 3), np.float32)
+    kp[:, 0, :, 0] = rng.uniform(5, m.win - 5, (g, 18))
+    kp[:, 0, :, 1] = rng.uniform(5, m.hin - 5, (g, 18))
+    kp[:, 0, :, 2] = 1
+    mask = np.ones((g, m.hout, m.wout, 1), np.float32)
+
+    lo, hi = rank * g // N_PROC, (rank + 1) * g // N_PROC
+
+    def to_global(arr, sharding):
+        return jax.make_array_from_process_local_data(
+            sharding, np.ascontiguousarray(arr[lo:hi]), arr.shape)
+
+    batch = {
+        "images": to_global(images.astype(np.uint8),
+                            NamedSharding(mesh, P("data"))),
+        "keypoints": to_global(kp, NamedSharding(mesh, P("data"))),
+        "mask": to_global(mask, NamedSharding(mesh, P("data"))),
+    }
+    step = T.make_train_step_on_batch(cfg)
+    state, metrics = step(state, batch)
+    loss = float(metrics["loss"])
+    assert np.isfinite(loss)
+    print(f"RANK{rank} OK loss={loss:.6f}", flush=True)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--child", type=int, default=None)
+    ap.add_argument("--port", type=int, default=12421)
+    args = ap.parse_args()
+    if args.child is not None:
+        child(args.child, args.port)
+        return 0
+
+    env = dict(os.environ)
+    # Children must NOT register the axon TPU plugin (two processes on the
+    # tunnel deadlock) — stripping the trigger env leaves pure-CPU JAX.
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__),
+             "--child", str(r), "--port", str(args.port)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        for r in range(N_PROC)
+    ]
+    ok = True
+    losses = []
+    for r, p in enumerate(procs):
+        out, _ = p.communicate(timeout=600)
+        text = out.decode()
+        if p.returncode != 0 or f"RANK{r} OK" not in text:
+            ok = False
+            print(f"--- rank {r} FAILED ---\n{text}")
+        else:
+            for line in text.splitlines():
+                if line.startswith(f"RANK{r} OK"):
+                    losses.append(float(line.split("loss=")[1]))
+    if ok and len(set(f"{l:.6f}" for l in losses)) == 1:
+        print(f"MULTIPROCESS OK: {N_PROC} procs, loss={losses[0]:.6f}")
+        return 0
+    print("MULTIPROCESS FAILED", losses)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

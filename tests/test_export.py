@@ -1,0 +1,29 @@
+"""jax.export engine artifact round-trip."""
+
+import dataclasses
+
+import numpy as np
+
+from openpose_plus_tpu import export as E
+from openpose_plus_tpu.config import default_config
+from openpose_plus_tpu.engine import Engine
+
+
+def test_export_roundtrip(tmp_path, rng):
+    cfg = default_config("vggtiny")
+    cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, hin=64, win=64, n_stages=2, compute_dtype="float32"))
+    eng = Engine(cfg)
+    path = str(tmp_path / "artifact")
+    E.save_engine(eng, path, batch_size=2)
+
+    loaded = E.load_engine(path)
+    assert loaded.manifest["model"] == "vggtiny"
+    images = rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8)
+    a = eng.infer(images)
+    b = loaded.infer(images)
+    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+    np.testing.assert_allclose(np.asarray(a.coords), np.asarray(b.coords),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.score), np.asarray(b.score),
+                               atol=1e-5)
