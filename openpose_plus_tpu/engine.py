@@ -39,13 +39,17 @@ class Engine:
     ----------
     config: full Config (model + postproc sections are used).
     params: optional pretrained parameter pytree; random init otherwise.
+    mesh: optional jax.sharding.Mesh — inference batches shard over the
+        mesh's data axis with params replicated (multi-chip serving; the
+        reference's only batching was single-GPU TensorRT max_batch).
     """
 
     def __init__(self, config: Optional[Config] = None,
                  params: Optional[Any] = None, seed: int = 0,
-                 fast_init: bool = False):
+                 fast_init: bool = False, mesh=None):
         self.config = config or default_config()
         self.model = get_model(self.config.model)
+        self.mesh = mesh
         if params is None:
             dummy = jnp.zeros(
                 (1, self.config.model.hin, self.config.model.win, 3),
@@ -63,11 +67,25 @@ class Engine:
                     shapes)
             else:
                 params = self.model.init(jax.random.PRNGKey(seed), dummy)
+        if mesh is not None:
+            from openpose_plus_tpu.parallel.sharding import replicated
+
+            params = jax.device_put(params, replicated(mesh))
         self.params = params
+        jit_kw = {}
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            # batch over the mesh's first (data) axis; params replicated.
+            jit_kw = dict(in_shardings=(
+                NamedSharding(mesh, P()),
+                NamedSharding(mesh, P(mesh.axis_names[0]))))
         self._infer = jax.jit(functools.partial(
-            _infer_impl, model=self.model, postproc_cfg=self.config.postproc))
+            _infer_impl, model=self.model, postproc_cfg=self.config.postproc),
+            **jit_kw)
         self._forward = jax.jit(functools.partial(_forward_impl,
-                                                  model=self.model))
+                                                  model=self.model),
+                                **jit_kw)
 
     # ------------------------------------------------------------- API ---
 

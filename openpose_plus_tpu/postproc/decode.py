@@ -41,6 +41,26 @@ class HumanBatch:
     def num_humans(self) -> jax.Array:
         return jnp.sum(self.valid, axis=-1)
 
+    def to_list(self, batch_index: int = 0) -> list[dict]:
+        """Host-side list-of-humans view (the reference's [Human] result
+        type): [{'parts': {part: (x, y, score)}, 'score': float}]."""
+        import numpy as np
+
+        out = []
+        valid = np.asarray(self.valid[batch_index])
+        coords = np.asarray(self.coords[batch_index])
+        pvalid = np.asarray(self.part_valid[batch_index])
+        pscore = np.asarray(self.part_scores[batch_index])
+        score = np.asarray(self.score[batch_index])
+        for m in np.nonzero(valid)[0]:
+            parts = {
+                int(p): (float(coords[m, p, 0]), float(coords[m, p, 1]),
+                         float(pscore[m, p]))
+                for p in np.nonzero(pvalid[m])[0]
+            }
+            out.append({"parts": parts, "score": float(score[m])})
+        return out
+
 
 def _tpu_backend() -> bool:
     """True when tracing for a TPU-class backend (Pallas kernels usable).

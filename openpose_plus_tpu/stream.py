@@ -87,6 +87,24 @@ class StreamEstimator:
 
         yield from self._run(batcher())
 
+    def run_video(self, path: str) -> Iterator[StreamResult]:
+        """Stream a video file (cv2.VideoCapture decode on host)."""
+        import cv2
+
+        cap = cv2.VideoCapture(path)
+        if not cap.isOpened():
+            raise FileNotFoundError(path)
+
+        def frames():
+            while True:
+                ok, frame = cap.read()
+                if not ok:
+                    cap.release()
+                    return
+                yield cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+
+        yield from self.run_frames(frames())
+
     # ------------------------------------------------------------------ --
 
     def _run(self, batches: Iterator[dict]) -> Iterator[StreamResult]:

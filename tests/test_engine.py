@@ -1,0 +1,65 @@
+"""Engine tests: end-to-end infer, AOT compile, multi-chip data-parallel
+inference on the 8-device mesh."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from openpose_plus_tpu.config import default_config
+from openpose_plus_tpu.engine import Engine
+from openpose_plus_tpu.parallel import sharding as S
+
+
+def _tiny(model="vggtiny"):
+    cfg = default_config(model)
+    return cfg.replace(model=dataclasses.replace(
+        cfg.model, hin=64, win=64, n_stages=2, compute_dtype="float32"))
+
+
+def test_engine_infer_shapes(rng):
+    cfg = _tiny()
+    eng = Engine(cfg)
+    images = rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8)
+    out = eng.infer(images)
+    M = cfg.postproc.max_humans
+    assert out.coords.shape == (2, M, 18, 2)
+    assert out.valid.shape == (2, M)
+    conf, paf = eng.forward(images)
+    assert conf.shape == (2, 8, 8, 19)
+    assert paf.shape == (2, 8, 8, 38)
+
+
+def test_engine_aot_compile(rng):
+    eng = Engine(_tiny())
+    eng.compile(batch_size=4)  # must not raise
+    images = rng.integers(0, 255, (4, 64, 64, 3), dtype=np.uint8)
+    out = eng.infer(images)
+    assert out.coords.shape[0] == 4
+
+
+def test_engine_mesh_inference_matches_single(rng):
+    """Sharded inference over the 8-device mesh == single-device results."""
+    cfg = _tiny()
+    single = Engine(cfg, seed=0)
+    mesh = S.build_mesh(cfg.parallel)
+    sharded = Engine(cfg, params=jax.device_get(single.params), mesh=mesh)
+    images = rng.integers(0, 255, (8, 64, 64, 3), dtype=np.uint8)
+    a = single.infer(images)
+    b = sharded.infer(images)
+    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+    np.testing.assert_allclose(np.asarray(a.coords), np.asarray(b.coords),
+                               atol=1e-5)
+
+
+def test_engine_fast_init_structure():
+    cfg = _tiny()
+    a = Engine(cfg, seed=0)
+    b = Engine(cfg, seed=0, fast_init=True)
+    ta = jax.tree_util.tree_structure(a.params)
+    tb = jax.tree_util.tree_structure(b.params)
+    assert ta == tb
+    for x, y in zip(jax.tree_util.tree_leaves(a.params),
+                    jax.tree_util.tree_leaves(b.params)):
+        assert x.shape == y.shape and x.dtype == y.dtype
