@@ -195,7 +195,8 @@ def cmd_eval(args) -> int:
     eng = _build_engine(args)
     ds = CocoPoseDataset(args.annotations, args.images)
     res = evaluate_engine(eng, ds, batch_size=args.batch, limit=args.limit,
-                          distributed=args.distributed)
+                          distributed=args.distributed,
+                          flip_tta=args.flip_tta)
     print(json.dumps(res.as_dict()))
     return 0
 
@@ -249,6 +250,8 @@ def main(argv: Optional[list[str]] = None) -> int:
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--distributed", action="store_true")
+    p.add_argument("--flip-tta", action="store_true",
+                   help="average horizontally-flipped predictions")
 
     p = sub.add_parser("train", help="train a model (see train.py flags)")
 

@@ -83,19 +83,26 @@ class Engine:
         self._infer = jax.jit(functools.partial(
             _infer_impl, model=self.model, postproc_cfg=self.config.postproc),
             **jit_kw)
+        self._infer_tta = jax.jit(functools.partial(
+            _infer_tta_impl, model=self.model,
+            postproc_cfg=self.config.postproc), **jit_kw)
         self._forward = jax.jit(functools.partial(_forward_impl,
                                                   model=self.model),
                                 **jit_kw)
 
     # ------------------------------------------------------------- API ---
 
-    def infer(self, images: np.ndarray | jax.Array) -> HumanBatch:
+    def infer(self, images: np.ndarray | jax.Array,
+              flip_tta: bool = False) -> HumanBatch:
         """images: (B, hin, win, 3) uint8 RGB -> skeletons.
 
         The analogue of TfPoseEstimator.inference / PoseDetector::detect,
-        but batched and fully on-device.
+        but batched and fully on-device. flip_tta averages predictions
+        with the horizontally-flipped input (maps mirrored back with
+        part/limb channel permutation) — ~2x cost, higher AP.
         """
-        return self._infer(self.params, jnp.asarray(images))
+        fn = self._infer_tta if flip_tta else self._infer
+        return fn(self.params, jnp.asarray(images))
 
     def forward(self, images: np.ndarray | jax.Array):
         """images -> (conf, paf) final-stage maps (no grouping)."""
@@ -119,3 +126,15 @@ def _forward_impl(params, images, *, model):
 def _infer_impl(params, images, *, model, postproc_cfg) -> HumanBatch:
     conf, paf = _forward_impl(params, images, model=model)
     return decode_maps(conf, paf, postproc_cfg)
+
+
+def _infer_tta_impl(params, images, *, model, postproc_cfg) -> HumanBatch:
+    """Flip test-time augmentation: average original and mirrored-back
+    predictions before the (single) decode."""
+    from openpose_plus_tpu.postproc.flip import mirror_maps
+
+    conf, paf = _forward_impl(params, images, model=model)
+    conf_f, paf_f = _forward_impl(params, images[:, :, ::-1], model=model)
+    conf_m, paf_m = mirror_maps(conf_f, paf_f)
+    return decode_maps((conf + conf_m) * 0.5, (paf + paf_m) * 0.5,
+                       postproc_cfg)

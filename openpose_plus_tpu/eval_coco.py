@@ -161,11 +161,13 @@ def evaluate_detections(
 
 def evaluate_engine(engine, dataset, batch_size: int = 8,
                     limit: Optional[int] = None,
-                    distributed: bool = False) -> EvalResult:
+                    distributed: bool = False,
+                    flip_tta: bool = False) -> EvalResult:
     """Run the engine over a CocoPoseDataset slice and compute AP.
 
     With distributed=True each process evaluates its
-    process_local_slice and detections are gathered across hosts.
+    process_local_slice and detections are gathered across hosts;
+    flip_tta averages horizontally-flipped predictions (higher AP).
     """
     import jax
 
@@ -189,7 +191,7 @@ def evaluate_engine(engine, dataset, batch_size: int = 8,
         while len(batch_imgs) < batch_size:   # pad the last batch
             batch_imgs.append(np.zeros_like(batch_imgs[0]))
             batch_meta.append(None)
-        humans = engine.infer(np.stack(batch_imgs))
+        humans = engine.infer(np.stack(batch_imgs), flip_tta=flip_tta)
         jax.block_until_ready(humans)
         for b in range(real):
             img_id, scale, pad = batch_meta[b]
