@@ -173,8 +173,15 @@ def cmd_camera(args) -> int:
     for r in est.run_frames(frames()):
         print(f"frame {int(r.indices[0])}: "
               f"{int(r.humans.num_humans[0])} humans")
-        if args.display:
-            ok, frame = True, None  # drawing happens on the letterboxed view
+        if args.save_dir:
+            import numpy as np
+
+            os.makedirs(args.save_dir, exist_ok=True)
+            canvas = np.zeros((eng.config.model.hin, eng.config.model.win, 3),
+                              np.uint8)
+            cv2.imwrite(os.path.join(args.save_dir,
+                                     f"frame{int(r.indices[0]):06d}.jpg"),
+                        draw_humans(canvas, r.humans, 0))
     cap.release()
     return 0
 
@@ -239,7 +246,8 @@ def main(argv: Optional[list[str]] = None) -> int:
     p = sub.add_parser("camera", help="live camera inference")
     _engine_flags(p)
     p.add_argument("--device", type=int, default=0)
-    p.add_argument("--display", action="store_true")
+    p.add_argument("--save-dir", default=None,
+                   help="write rendered skeleton frames here")
 
     p = sub.add_parser("bench", help="device benchmark (fake-input mode)")
 
