@@ -29,6 +29,10 @@ class ModelConfig:
     compute_dtype: str = "bfloat16"  # MXU-friendly; params stay float32
     # MobileNet width multiplier ("thin" = 0.75 in the reference family).
     width_multiplier: float = 0.75
+    # Rematerialize stage activations in the backward pass (jax.checkpoint):
+    # trades ~1 extra stage forward for O(n_stages) less activation memory —
+    # the HBM-for-FLOPs lever for big batches / high-res training.
+    remat_stages: bool = False
 
     @property
     def hout(self) -> int:

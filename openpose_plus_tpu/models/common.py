@@ -120,10 +120,12 @@ class MultiStageHead(nn.Module):
     refine_mid: int = 128
     separable: bool = False
     compute_dtype: str = "bfloat16"
+    remat: bool = False
 
     @nn.compact
     def __call__(self, feature):
         confs, pafs = [], []
+        branch_cls = nn.remat(StageBranch) if self.remat else StageBranch
         x = feature
         for stage in range(self.n_stages):
             if stage == 0:
@@ -136,12 +138,12 @@ class MultiStageHead(nn.Module):
                 x = jnp.concatenate(
                     [feature, confs[-1].astype(feature.dtype),
                      pafs[-1].astype(feature.dtype)], axis=-1)
-            conf = StageBranch(self.n_heatmaps, separable=self.separable,
-                               compute_dtype=self.compute_dtype,
-                               name=f"stage{stage + 1}_conf", **kw)(x)
-            paf = StageBranch(self.n_pafs, separable=self.separable,
+            conf = branch_cls(self.n_heatmaps, separable=self.separable,
                               compute_dtype=self.compute_dtype,
-                              name=f"stage{stage + 1}_paf", **kw)(x)
+                              name=f"stage{stage + 1}_conf", **kw)(x)
+            paf = branch_cls(self.n_pafs, separable=self.separable,
+                             compute_dtype=self.compute_dtype,
+                             name=f"stage{stage + 1}_paf", **kw)(x)
             confs.append(conf)
             pafs.append(paf)
         return confs, pafs

@@ -31,5 +31,6 @@ class Hao28Pose(nn.Module):
             n_stages=self.cfg.n_stages,
             stage1_convs=3, stage1_kernel=3, stage1_proj=256,
             refine_convs=3, refine_kernel=3, refine_mid=128,
+            remat=self.cfg.remat_stages,
             compute_dtype=d, name="stages")(feature)
         return dict(conf=confs, paf=pafs, feature=feature)

@@ -30,5 +30,6 @@ class VGG19Pose(nn.Module):
         confs, pafs = common.MultiStageHead(
             n_heatmaps=self.cfg.n_heatmaps, n_pafs=self.cfg.n_pafs,
             n_stages=self.cfg.n_stages, refine_kernel=7,
+            remat=self.cfg.remat_stages,
             compute_dtype=d, name="stages")(feature)
         return dict(conf=confs, paf=pafs, feature=feature)

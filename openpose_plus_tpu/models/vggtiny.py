@@ -29,5 +29,6 @@ class VGGTinyPose(nn.Module):
         confs, pafs = common.MultiStageHead(
             n_heatmaps=self.cfg.n_heatmaps, n_pafs=self.cfg.n_pafs,
             n_stages=self.cfg.n_stages, refine_kernel=3, refine_convs=5,
+            remat=self.cfg.remat_stages,
             compute_dtype=d, name="stages")(feature)
         return dict(conf=confs, paf=pafs, feature=feature)
