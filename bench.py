@@ -9,11 +9,10 @@ Methodology:
     benchmarking mode (C++ examples' --fake flag — SURVEY.md §4); this rig
     reaches the chip through a ~35 MB/s development tunnel, so
     host-interleaved numbers would measure the tunnel, not the engine.
-  * Timing runs the whole measurement as ONE on-device lax.fori_loop of
-    `iters` end-to-end iterations (input perturbed per step so XLA cannot
-    hoist the body) reduced to a single scalar — the only honest clock on
-    a remote-execution backend where per-call block_until_ready can
-    return before work completes.
+  * Timing chains `iters` end-to-end iterations through a scalar data
+    dependence (each step perturbs the next input) and ends in one tiny
+    D2H fetch — the only honest clock on a remote-execution backend where
+    per-call block_until_ready can return before work completes.
 
 vs_baseline: BASELINE.json has `published: {}` (empty reference mount), so
 the first recorded run under this methodology is the frozen baseline
@@ -23,7 +22,6 @@ the first recorded run under this methodology is the frozen baseline
 from __future__ import annotations
 
 import dataclasses
-import functools
 import json
 import os
 import time
@@ -44,7 +42,7 @@ def _device_loop_seconds(engine, images, iters: int = 20) -> float:
     import jax.numpy as jnp
     import numpy as np
 
-    from openpose_plus_tpu.engine import _infer_impl, preprocess_images
+    from openpose_plus_tpu.engine import preprocess_images
     from openpose_plus_tpu.postproc import decode_maps
 
     model, pcfg = engine.model, engine.config.postproc

@@ -16,7 +16,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-from typing import Any, Iterator, Optional
+from typing import Any, Iterator
 
 import numpy as np
 

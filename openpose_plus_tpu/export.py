@@ -11,11 +11,8 @@ a frozen graph.
 
 from __future__ import annotations
 
-import functools
 import json
 import os
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -15,7 +15,6 @@ import flax.struct
 import jax
 import jax.numpy as jnp
 
-from openpose_plus_tpu import skeleton
 from openpose_plus_tpu.config import PostprocConfig
 from openpose_plus_tpu.postproc import group, nms, paf
 

@@ -19,7 +19,6 @@ from __future__ import annotations
 import flax.struct
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from openpose_plus_tpu import skeleton
 from openpose_plus_tpu.postproc.paf import Connections

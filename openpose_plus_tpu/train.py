@@ -13,7 +13,6 @@ single_train / parallel_train [HIGH; empty mount — SURVEY.md §2/§3]):
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Optional
 
 import flax.struct

@@ -14,7 +14,7 @@ import contextlib
 import threading
 import time
 from dataclasses import dataclass, field
-from typing import Iterator, Optional
+from typing import Iterator
 
 import jax
 
