@@ -43,16 +43,36 @@ class TrainPipeline:
 
     def __init__(self, dataset: CocoPoseDataset, config: Config,
                  seed: int = 0, num_workers: Optional[int] = None,
-                 max_people: int = 32):
+                 max_people: int = 32, with_replacement: bool = False):
         self.ds = dataset
         self.cfg = config
         self.max_people = max_people
         self.seed = seed
         self.num_workers = num_workers or config.data.num_workers
+        self.with_replacement = with_replacement
         self._q: queue.Queue = queue.Queue(maxsize=config.data.prefetch)
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
         self._started = False
+        # shared shuffled-epoch cursor (reference shuffle+repeat semantics:
+        # every sample seen once per epoch, new permutation each epoch)
+        self._epoch_lock = threading.Lock()
+        self._epoch_rng = np.random.default_rng(seed)
+        self._perm = self._epoch_rng.permutation(len(dataset))
+        self._cursor = 0
+
+    def _draw_indices(self, n: int, rng: np.random.Generator) -> np.ndarray:
+        if self.with_replacement:
+            return rng.integers(0, len(self.ds), size=n)
+        out = np.empty(n, np.int64)
+        with self._epoch_lock:
+            for i in range(n):
+                if self._cursor >= len(self._perm):
+                    self._perm = self._epoch_rng.permutation(len(self.ds))
+                    self._cursor = 0
+                out[i] = self._perm[self._cursor]
+                self._cursor += 1
+        return out
 
     # --------------------------------------------------------- workers ---
 
@@ -61,7 +81,7 @@ class TrainPipeline:
         m = self.cfg.model
         b = self.cfg.train.batch_size
         while not self._stop.is_set():
-            idx = rng.integers(0, len(self.ds), size=b)
+            idx = self._draw_indices(b, rng)
             images, kps, masks = [], [], []
             for i in idx:
                 s = self.ds[int(i)]

@@ -87,18 +87,42 @@ class EvalResult:
     ar: float
     n_images: int
     n_dets: int
+    ap_medium: float = -1.0   # COCOeval area range [32^2, 96^2)
+    ap_large: float = -1.0    # [96^2, inf)
 
     def as_dict(self) -> dict:
         return dataclasses.asdict(self)
 
 
+AREA_MEDIUM = (32.0 ** 2, 96.0 ** 2)
+AREA_LARGE = (96.0 ** 2, float("inf"))
+
+
+def evaluate_detections_full(detections, gt_by_image) -> EvalResult:
+    """All-areas AP plus the COCOeval medium/large area breakdowns."""
+    res = evaluate_detections(detections, gt_by_image)
+    res.ap_medium = evaluate_detections(
+        detections, gt_by_image, AREA_MEDIUM).ap
+    res.ap_large = evaluate_detections(detections, gt_by_image, AREA_LARGE).ap
+    return res
+
+
 def evaluate_detections(
     detections: Sequence[Detection],
     gt_by_image: dict[int, tuple[np.ndarray, np.ndarray]],
+    area_range: tuple[float, float] = (0.0, float("inf")),
 ) -> EvalResult:
-    """AP over {image_id: (gt_keypoints (G,17,3), areas (G,))}."""
+    """AP over {image_id: (gt_keypoints (G,17,3), areas (G,))}.
+
+    area_range restricts to GTs within [lo, hi) (COCOeval area ranges:
+    medium = [32^2, 96^2), large = [96^2, inf)); out-of-range GTs are
+    IGNORED — detections that best-match an ignored GT are dropped from
+    the PR curve rather than counted as false positives.
+    """
     # Per image: sort dets by score, greedy-match to best unmatched GT.
-    matches: list[tuple[float, np.ndarray]] = []  # (det score, per-thr TP)
+    lo, hi = area_range
+    # (det score, per-thr TP bits, per-thr counted bits)
+    matches: list[tuple[float, np.ndarray, np.ndarray]] = []
     n_gt = 0
     by_img: dict[int, list[Detection]] = {}
     for d in detections:
@@ -107,24 +131,33 @@ def evaluate_detections(
     n_thr = len(OKS_THRESHOLDS)
     for img_id, (gts, areas) in gt_by_image.items():
         labeled = [(g, a) for g, a in zip(gts, areas) if (g[:, 2] > 0).any()]
-        n_gt += len(labeled)
+        targets = [(g, a) for g, a in labeled if lo <= a < hi]
+        ignored = [(g, a) for g, a in labeled if not (lo <= a < hi)]
+        n_gt += len(targets)
         dets = sorted(by_img.get(img_id, []), key=lambda d: -d.score)[:MAX_DETS]
         if not dets:
             continue
         hits = np.zeros((len(dets), n_thr), bool)
-        if labeled:
-            oks = np.array([[compute_oks(d.keypoints, g, a)
-                             for g, a in labeled] for d in dets])
-            for ti, thr in enumerate(OKS_THRESHOLDS):
-                used = np.zeros(len(labeled), bool)
-                for i in range(len(dets)):
+        counted = np.ones((len(dets), n_thr), bool)
+        oks = np.array([[compute_oks(d.keypoints, g, a) for g, a in targets]
+                        for d in dets]) if targets else None
+        oks_ign = np.array([[compute_oks(d.keypoints, g, a)
+                             for g, a in ignored]
+                            for d in dets]) if ignored else None
+        for ti, thr in enumerate(OKS_THRESHOLDS):
+            used = np.zeros(len(targets), bool)
+            for i in range(len(dets)):
+                if oks is not None:
                     free = ~used & (oks[i] >= thr)
                     if free.any():
                         j = int(np.argmax(np.where(free, oks[i], -1.0)))
                         used[j] = True
                         hits[i, ti] = True
+                        continue
+                if oks_ign is not None and (oks_ign[i] >= thr).any():
+                    counted[i, ti] = False  # matches an ignored GT: drop
         for i, d in enumerate(dets):
-            matches.append((d.score, hits[i]))
+            matches.append((d.score, hits[i], counted[i]))
 
     if n_gt == 0:
         return EvalResult(0.0, 0.0, 0.0, 0.0, len(gt_by_image), len(detections))
@@ -132,12 +165,13 @@ def evaluate_detections(
     if not matches:
         return EvalResult(0.0, 0.0, 0.0, 0.0, len(gt_by_image), 0)
 
-    order = np.argsort([-s for s, _ in matches], kind="stable")
-    tp = np.stack([matches[i][1] for i in order])      # (D, T)
+    order = np.argsort([-s for s, _, _ in matches], kind="stable")
+    tp = np.stack([matches[i][1] for i in order])       # (D, T)
+    cnt = np.stack([matches[i][2] for i in order])      # (D, T)
     aps, ars = [], []
     for ti in range(len(OKS_THRESHOLDS)):
-        cum_tp = np.cumsum(tp[:, ti])
-        cum_fp = np.cumsum(~tp[:, ti])
+        cum_tp = np.cumsum(tp[:, ti] & cnt[:, ti])
+        cum_fp = np.cumsum(~tp[:, ti] & cnt[:, ti])
         recall = cum_tp / n_gt
         precision = cum_tp / np.maximum(cum_tp + cum_fp, 1)
         # monotone precision envelope + 101-point interpolation (COCOeval)
@@ -220,7 +254,7 @@ def evaluate_engine(engine, dataset, batch_size: int = 8,
         # (small) the same way
         gt_payload = _pack_gt(gt_by_image)
         gt_by_image = _unpack_gt(multihost_utils.process_allgather(gt_payload))
-    return evaluate_detections(dets, gt_by_image)
+    return evaluate_detections_full(dets, gt_by_image)
 
 
 # ---------------------------------------------------- multihost packing ---

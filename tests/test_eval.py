@@ -92,3 +92,26 @@ def test_detection_packing_roundtrip(rng):
     gt2 = E._unpack_gt(E._pack_gt(gt))
     assert set(gt2) == set(gt)
     np.testing.assert_allclose(gt2[0][0], gt[0][0], rtol=1e-6)
+
+
+def test_area_range_aps(rng):
+    """Small people only hurt AP_M; detections matching ignored GTs are
+    dropped rather than counted as false positives."""
+    gt = {}
+    dets = []
+    # image 0: one medium person (area ~50^2), one large (area ~150^2)
+    med = _gt_person(rng, 100, 100, spread=25.0)
+    large = _gt_person(rng, 400, 400, spread=75.0)
+    gt[0] = (np.stack([med, large]),
+             np.asarray([2500.0, 22500.0], np.float32))
+    for kp, sc in [(med, 0.9), (large, 0.8)]:
+        d = kp.copy(); d[:, 2] = 0.9
+        dets.append(E.Detection(image_id=0, keypoints=d, score=sc))
+    full = E.evaluate_detections_full(dets, gt)
+    assert full.ap == pytest.approx(1.0, abs=1e-6)
+    assert full.ap_medium == pytest.approx(1.0, abs=1e-6)
+    assert full.ap_large == pytest.approx(1.0, abs=1e-6)
+    # drop the medium detection: AP_M collapses, AP_L unaffected
+    partial = E.evaluate_detections_full(dets[1:], gt)
+    assert partial.ap_medium == pytest.approx(0.0, abs=1e-6)
+    assert partial.ap_large == pytest.approx(1.0, abs=1e-6)
