@@ -10,6 +10,22 @@ from __future__ import annotations
 import numpy as np
 
 
+def tpu_backend() -> bool:
+    """True when tracing for a TPU-class backend.
+
+    Several postproc stages have two numerically identical lowerings: an
+    XLA one that is fastest on CPU (tests run there) and a TPU-shaped one
+    (MXU one-hot sampling, Pallas merge kernel). Equality of the two paths
+    is enforced by tests; this switch only picks the faster lowering.
+    """
+    import jax
+
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def gaussian_kernel_1d(sigma: float) -> np.ndarray:
     """Truncated, normalized 1-D Gaussian (radius = ceil(3*sigma)).
 

@@ -69,10 +69,9 @@ def _tpu_backend() -> bool:
     parity with the oracle is enforced by tests/test_postproc_parity.py,
     and kernel-vs-XLA equality by tests/test_pallas_merge.py.
     """
-    try:
-        return jax.devices()[0].platform in ("tpu", "axon")
-    except Exception:
-        return False
+    from openpose_plus_tpu.postproc import common
+
+    return common.tpu_backend()
 
 
 def preprocess_single(conf: jax.Array, paf_map: jax.Array,

@@ -1,0 +1,51 @@
+"""Equivalence of the TPU-shaped lowerings vs their plain-XLA twins.
+
+Two postproc stages ship two numerically identical lowerings (selected by
+postproc.common.tpu_backend()):
+  * PAF sampling: XLA gather (CPU) vs one-hot MXU contraction (TPU)
+  * peak top-k:  lax.top_k semantics vs iterative argmax (all backends)
+These tests pin BIT-EXACT agreement so the backend switch can never change
+results — the oracle-parity suite then covers either lowering.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openpose_plus_tpu.postproc import nms, paf as jpaf
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("h,w", [(46, 54), (92, 164)])
+def test_onehot_sampling_matches_gather(seed, h, w):
+    rng = np.random.default_rng(seed)
+    pafm = jnp.asarray(rng.random((h, w, 38), np.float32) - 0.5)
+    l, s, k = 19, 10, 8
+    sy = jnp.asarray(rng.integers(0, h, (l, s, k, k), np.int32))
+    sx = jnp.asarray(rng.integers(0, w, (l, s, k, k), np.int32))
+    gx, gy = jax.jit(jpaf._sample_paf_gather)(pafm, sy, sx)
+    ox, oy = jax.jit(jpaf._sample_paf_onehot)(pafm, sy, sx)
+    np.testing.assert_array_equal(np.asarray(gx), np.asarray(ox))
+    np.testing.assert_array_equal(np.asarray(gy), np.asarray(oy))
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_topk_iterative_matches_lax_topk(seed):
+    rng = np.random.default_rng(seed)
+    flat = rng.random((18, 1000)).astype(np.float32)
+    # inject plateaus (exact ties) and sub-threshold rows
+    flat[3, 100] = flat[3, 500] = flat[3, 700] = 0.9
+    flat[5, :] = -np.inf
+    flat[7, 10:14] = 0.95
+    flat = jnp.asarray(flat)
+    k = 16
+    s_ref, i_ref = jax.jit(lambda f: jax.lax.top_k(f, k))(flat)
+    s_it, i_it = jax.jit(lambda f: nms._topk_iterative(f, k))(flat)
+    finite = np.isfinite(np.asarray(s_ref))
+    np.testing.assert_array_equal(np.asarray(s_ref)[finite],
+                                  np.asarray(s_it)[finite])
+    np.testing.assert_array_equal(np.asarray(i_ref)[finite],
+                                  np.asarray(i_it)[finite])
+    # -inf slots: scores agree (index may differ; consumers mask on score)
+    np.testing.assert_array_equal(np.asarray(s_ref), np.asarray(s_it))
