@@ -33,6 +33,13 @@ class ModelConfig:
     # trades ~1 extra stage forward for O(n_stages) less activation memory —
     # the HBM-for-FLOPs lever for big batches / high-res training.
     remat_stages: bool = False
+    # Fuse eligible depthwise-separable convs into single Pallas kernels
+    # (inference-only: no custom VJP; see ops/pallas/sepconv.py). Default
+    # OFF: measured on TPU v5e, XLA's unfused separable pair runs at ~94%
+    # of HBM peak and beats the fused kernel at every channel width (the
+    # in-kernel depthwise is relayout-bound) — kept as an opt-in for
+    # hardware where the crossover differs.
+    fused_inference: bool = False
 
     @property
     def hout(self) -> int:

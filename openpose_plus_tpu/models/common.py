@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -49,27 +50,49 @@ class SepConvRelu(nn.Module):
     """Depthwise-separable conv (MobileNet-style): DW kxk + PW 1x1, ReLU.
 
     The depthwise stage is the TPU hot spot the reference never had
-    (TensorRT fused it); ops/pallas hosts the hand kernel when XLA's
-    depthwise lowering underperforms.
+    (TensorRT fused it). With `fused=True` and an eligible shape (stride 1,
+    3x3, bf16, fits VMEM) the whole block runs as ONE Pallas kernel that
+    keeps the DW intermediate in VMEM (ops/pallas/sepconv.py) — the forward
+    pass is HBM-bound, so halving a layer's traffic nearly halves its cost.
+    Both paths share the same parameters; the XLA path (training/CPU)
+    reproduces flax nn.Conv numerics exactly.
     """
 
     features: int
     kernel: int = 3
     stride: int = 1
     compute_dtype: str = "bfloat16"
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x):
         c_in = x.shape[-1]
-        x = nn.Conv(c_in, (self.kernel, self.kernel),
-                    strides=(self.stride, self.stride), padding="SAME",
-                    feature_group_count=c_in,
-                    dtype=_dtype(self.compute_dtype),
-                    param_dtype=jnp.float32)(x)
-        x = nn.relu(x)
-        x = nn.Conv(self.features, (1, 1), dtype=_dtype(self.compute_dtype),
-                    param_dtype=jnp.float32)(x)
-        return nn.relu(x)
+        k = self.kernel
+        dt = _dtype(self.compute_dtype)
+        dwk = self.param("dw_kernel", nn.initializers.lecun_normal(),
+                         (k, k, 1, c_in), jnp.float32)
+        dwb = self.param("dw_bias", nn.initializers.zeros_init(),
+                         (c_in,), jnp.float32)
+        pwk = self.param("pw_kernel", nn.initializers.lecun_normal(),
+                         (1, 1, c_in, self.features), jnp.float32)
+        pwb = self.param("pw_bias", nn.initializers.zeros_init(),
+                         (self.features,), jnp.float32)
+
+        if self.fused and self.stride == 1 and k == 3 and dt == jnp.bfloat16:
+            from openpose_plus_tpu.ops.pallas import sepconv
+
+            if sepconv.fused_sepconv_fits(x.shape[1], x.shape[2], c_in,
+                                          self.features):
+                return sepconv.fused_sepconv(x, dwk, dwb, pwk, pwb)
+
+        dn = ("NHWC", "HWIO", "NHWC")
+        y = jax.lax.conv_general_dilated(
+            x.astype(dt), dwk.astype(dt), (self.stride, self.stride),
+            "SAME", dimension_numbers=dn, feature_group_count=c_in)
+        y = nn.relu(y + dwb.astype(dt))
+        y = jax.lax.conv_general_dilated(
+            y, pwk.astype(dt), (1, 1), "SAME", dimension_numbers=dn)
+        return nn.relu(y + pwb.astype(dt))
 
 
 class StageBranch(nn.Module):
@@ -87,13 +110,18 @@ class StageBranch(nn.Module):
     proj_features: int = 512
     separable: bool = False
     compute_dtype: str = "bfloat16"
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x):
-        conv = SepConvRelu if self.separable else ConvRelu
         for _ in range(self.n_convs):
-            x = conv(self.mid_features, kernel=self.kernel,
-                     compute_dtype=self.compute_dtype)(x)
+            if self.separable:
+                x = SepConvRelu(self.mid_features, kernel=self.kernel,
+                                compute_dtype=self.compute_dtype,
+                                fused=self.fused)(x)
+            else:
+                x = ConvRelu(self.mid_features, kernel=self.kernel,
+                             compute_dtype=self.compute_dtype)(x)
         x = ConvRelu(self.proj_features, kernel=1,
                      compute_dtype=self.compute_dtype)(x)
         # Final prediction in float32: the decoder compares map values.
@@ -121,6 +149,7 @@ class MultiStageHead(nn.Module):
     separable: bool = False
     compute_dtype: str = "bfloat16"
     remat: bool = False
+    fused: bool = False
 
     @nn.compact
     def __call__(self, feature):
@@ -140,9 +169,11 @@ class MultiStageHead(nn.Module):
                      pafs[-1].astype(feature.dtype)], axis=-1)
             conf = branch_cls(self.n_heatmaps, separable=self.separable,
                               compute_dtype=self.compute_dtype,
+                              fused=self.fused,
                               name=f"stage{stage + 1}_conf", **kw)(x)
             paf = branch_cls(self.n_pafs, separable=self.separable,
                              compute_dtype=self.compute_dtype,
+                             fused=self.fused,
                              name=f"stage{stage + 1}_paf", **kw)(x)
             confs.append(conf)
             pafs.append(paf)

@@ -33,6 +33,7 @@ class MobileNetThinPose(nn.Module):
     def __call__(self, x):
         d = self.cfg.compute_dtype
         w = self.cfg.width_multiplier
+        fz = self.cfg.fused_inference
         x = x.astype(common._dtype(d))
         x = common.ConvRelu(_w(w, 32), stride=2, compute_dtype=d,
                             name="conv1")(x)          # stride 2
@@ -43,10 +44,12 @@ class MobileNetThinPose(nn.Module):
         feat_s4 = x
         x = common.SepConvRelu(_w(w, 256), stride=2, compute_dtype=d,
                                name="dw4")(x)         # stride 8
-        x = common.SepConvRelu(_w(w, 256), compute_dtype=d, name="dw5")(x)
-        x = common.SepConvRelu(_w(w, 512), compute_dtype=d, name="dw6")(x)
+        x = common.SepConvRelu(_w(w, 256), compute_dtype=d, fused=fz,
+                               name="dw5")(x)
+        x = common.SepConvRelu(_w(w, 512), compute_dtype=d, fused=fz,
+                               name="dw6")(x)
         for i in range(3):
-            x = common.SepConvRelu(_w(w, 512), compute_dtype=d,
+            x = common.SepConvRelu(_w(w, 512), compute_dtype=d, fused=fz,
                                    name=f"dw{7 + i}")(x)
         # Multi-scale concat: pool the stride-4 features onto the stride-8
         # grid and fuse (reference concatenates multiple backbone taps).
@@ -60,6 +63,6 @@ class MobileNetThinPose(nn.Module):
             n_stages=self.cfg.n_stages,
             stage1_convs=3, stage1_kernel=3, stage1_proj=256,
             refine_convs=3, refine_kernel=3, refine_mid=128,
-            separable=True, remat=self.cfg.remat_stages,
+            separable=True, remat=self.cfg.remat_stages, fused=fz,
             compute_dtype=d, name="stages")(feature)
         return dict(conf=confs, paf=pafs, feature=feature)

@@ -49,3 +49,37 @@ def test_topk_iterative_matches_lax_topk(seed):
                                   np.asarray(i_it)[finite])
     # -inf slots: scores agree (index may differ; consumers mask on score)
     np.testing.assert_array_equal(np.asarray(s_ref), np.asarray(s_it))
+
+
+@pytest.mark.parametrize("c_in,c_out,h,w", [(64, 128, 12, 16), (24, 32, 9, 11)])
+def test_fused_sepconv_matches_xla(c_in, c_out, h, w):
+    """Pallas fused DW+PW (interpret mode) vs the XLA separable-conv path."""
+    from flax import linen as nn
+
+    from openpose_plus_tpu.models.common import SepConvRelu
+    from openpose_plus_tpu.ops.pallas import sepconv
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, h, w, c_in)).astype(np.float32))
+    mod = SepConvRelu(c_out, compute_dtype="bfloat16")
+    params = mod.init(jax.random.PRNGKey(0), x)
+    ref = mod.apply(params, x.astype(jnp.bfloat16))
+
+    p = params["params"]
+    import functools
+    fused = functools.partial(
+        sepconv.fused_sepconv, dw_kernel=p["dw_kernel"], dw_bias=p["dw_bias"],
+        pw_kernel=p["pw_kernel"], pw_bias=p["pw_bias"])
+    import unittest.mock
+    from jax.experimental import pallas as pl
+    with unittest.mock.patch.object(
+            pl, "pallas_call", functools.partial(pl.pallas_call,
+                                                 interpret=True)):
+        out = fused(x.astype(jnp.bfloat16))
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(ref, np.float32), np.asarray(out, np.float32),
+        rtol=0.05, atol=0.05)
+    # identical fraction should be high: same math, different assoc. order
+    same = np.mean(np.asarray(ref, np.float32) == np.asarray(out, np.float32))
+    assert same > 0.8
