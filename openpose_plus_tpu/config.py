@@ -120,6 +120,11 @@ class TrainConfig:
     weight_decay: float = 5e-4
     optimizer: str = "adam"      # "adam" | "momentum"
     momentum: float = 0.9
+    # Distributed strategy (reference --kf-optimizer): "sync-sgd" (gradient
+    # all-reduce; the TPU-idiomatic default), "sma" (local steps + global
+    # model averaging), "pair-avg" (PairAveraging gossip as deterministic
+    # hypercube rounds — parallel/kungfu.py).
+    kf_optimizer: str = "sync-sgd"
     log_every: int = 100
     checkpoint_every: int = 5000
     checkpoint_dir: str = "checkpoints"

@@ -173,6 +173,7 @@ def train_loop(config: Config, n_steps: Optional[int] = None,
             f"data mesh axis ({n_data} devices)")
     n_steps = n_steps or config.train.n_steps
 
+    strategy = config.train.kf_optimizer
     state = create_train_state(config, jax.random.PRNGKey(config.train.seed))
     start_step = 0
     ckpt_dir = config.train.checkpoint_dir
@@ -180,13 +181,26 @@ def train_loop(config: Config, n_steps: Optional[int] = None,
         state = ckpt.restore(ckpt_dir, state)
         start_step = int(state.step)
         log(f"resumed from step {start_step}")
-    state = jax.device_put(state, S.replicated(mesh))
+
+    if strategy == "sync-sgd":
+        # Idiomatic sync DP: replicated params, sharded batch, XLA psum.
+        state = jax.device_put(state, S.replicated(mesh))
+        step_fns = [make_train_step_on_batch(config)]
+    else:
+        # Decentralized strategies: per-device replicas (parallel/kungfu.py).
+        from openpose_plus_tpu.parallel import kungfu as kf
+
+        n = mesh.shape[config.parallel.data_axis]
+        state = TrainState(step=jnp.full((n,), start_step, jnp.int32),
+                           params=kf.stack_for_devices(state.params, n),
+                           opt_state=kf.stack_for_devices(state.opt_state, n))
+        state = jax.device_put(state, kf.replica_sharding(mesh))
+        step_fns = kf.make_kungfu_steps(config, mesh, strategy)
 
     dataset = CocoPoseDataset(config.data.train_annotations,
                               config.data.train_images)
     pipeline = TrainPipeline(dataset, config,
                              seed=config.train.seed + jax.process_index())
-    step_fn = make_train_step_on_batch(config)
 
     it = iter(pipeline)
     t0 = time.perf_counter()
@@ -194,7 +208,7 @@ def train_loop(config: Config, n_steps: Optional[int] = None,
     try:
         for i in range(start_step, n_steps):
             batch = S.shard_batch(next(it), mesh)
-            state, metrics = step_fn(state, batch)
+            state, metrics = step_fns[i % len(step_fns)](state, batch)
             imgs_since += batch["images"].shape[0]
             if (i + 1) % config.train.log_every == 0:
                 jax.block_until_ready(metrics)
@@ -206,14 +220,29 @@ def train_loop(config: Config, n_steps: Optional[int] = None,
                 imgs_since = 0
             if (i + 1) % config.train.checkpoint_every == 0:
                 if jax.process_index() == 0:
-                    ckpt.save(ckpt_dir, jax.device_get(state), i + 1)
+                    ckpt.save(ckpt_dir,
+                              jax.device_get(_single_replica(state, strategy)),
+                              i + 1)
             if (config.train.vis_every
                     and (i + 1) % config.train.vis_every == 0
                     and jax.process_index() == 0):
-                _dump_vis(config, state, batch, i + 1)
+                _dump_vis(config, _single_replica(state, strategy), batch,
+                          i + 1)
     finally:
         pipeline.stop()
     return state
+
+
+def _single_replica(state: TrainState, strategy: str) -> TrainState:
+    """Rank-0 view of the state (KungFu checkpoints worker 0's replica);
+    identity for sync-sgd where params are replicated."""
+    if strategy == "sync-sgd":
+        return state
+    from openpose_plus_tpu.parallel import kungfu as kf
+
+    return TrainState(step=state.step[0],
+                      params=kf.unstack_replica(state.params),
+                      opt_state=kf.unstack_replica(state.opt_state))
 
 
 def _dump_vis(config: Config, state: TrainState, batch, step: int) -> None:
@@ -257,6 +286,10 @@ def main(argv: Optional[list[str]] = None) -> None:
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--parallel", action="store_true",
                    help="multi-host: jax.distributed.initialize()")
+    p.add_argument("--kf-optimizer", default="sync-sgd",
+                   choices=["sync-sgd", "sma", "pair-avg"],
+                   help="distributed strategy (reference --kf-optimizer; "
+                        "async PairAveraging maps to hypercube gossip)")
     p.add_argument("--spatial", type=int, default=1,
                    help="spatial-parallel shards of the image height")
     p.add_argument("--train-images", default=None)
@@ -267,7 +300,7 @@ def main(argv: Optional[list[str]] = None) -> None:
     from openpose_plus_tpu.config import default_config
 
     cfg = default_config(args.model)
-    tr = cfg.train
+    tr = dataclasses.replace(cfg.train, kf_optimizer=args.kf_optimizer)
     if args.batch_size:
         tr = dataclasses.replace(tr, batch_size=args.batch_size)
     if args.checkpoint_dir:
