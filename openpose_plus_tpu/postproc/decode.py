@@ -96,15 +96,17 @@ def _decode_single(conf: jax.Array, paf_map: jax.Array,
     cand_scores = paf.score_candidates(
         paf_u, peaks, cfg.paf_n_samples, cfg.paf_sample_threshold,
         cfg.paf_inlier_ratio)
-    conns = paf.greedy_assign(cand_scores, cfg.max_peaks)
 
     k = cfg.max_peaks
     peak_score_flat = peaks.score.reshape(-1)           # (18*K,)
     if _tpu_backend():
+        from openpose_plus_tpu.ops.pallas.greedy import greedy_assign_pallas
         from openpose_plus_tpu.ops.pallas.merge import assemble_pallas
 
+        conns = greedy_assign_pallas(cand_scores, k)
         subsets = assemble_pallas(conns, peaks.score, k, cfg.max_humans)
     else:
+        conns = paf.greedy_assign(cand_scores, k)
         subsets = group.assemble(conns, peak_score_flat, k, cfg.max_humans)
 
     h, w = smoothed.shape[0], smoothed.shape[1]
