@@ -27,8 +27,9 @@ import os
 import time
 
 
-def _device_loop_seconds(engine, images, iters: int = 20) -> float:
-    """Mean seconds per end-to-end inference.
+def _device_loop_seconds(engine, images, iters: int = 20,
+                         repeats: int = 3) -> float:
+    """Best mean seconds per end-to-end inference over `repeats` passes.
 
     Iterations are chained through a scalar data dependence (the previous
     result perturbs the next input), so the device MUST execute them
@@ -37,6 +38,10 @@ def _device_loop_seconds(engine, images, iters: int = 20) -> float:
     block_until_ready can return early. Python-level chaining keeps the
     compiled program the size of ONE engine step (a lax.fori_loop variant
     compiles minutes-long programs on the remote-compile rig).
+
+    Best-of-N: the shared development rig shows occasional multi-second
+    degraded windows (~5x slow); the fastest full pass is the engine's
+    actual throughput.
     """
     import jax
     import jax.numpy as jnp
@@ -57,16 +62,19 @@ def _device_loop_seconds(engine, images, iters: int = 20) -> float:
     carry = jnp.float32(0.0)
     carry = step(engine.params, images, carry)   # compile + warmup
     _ = np.asarray(carry)
-    # overhead estimate: one chained iteration + scalar D2H
-    t1 = time.perf_counter()
-    _ = np.asarray(step(engine.params, images, carry))
-    overhead = time.perf_counter() - t1
-    t0 = time.perf_counter()
-    for _ in range(iters + 1):
-        carry = step(engine.params, images, carry)
-    _ = np.asarray(carry)
-    total = time.perf_counter() - t0
-    return max(total - overhead, 1e-9) / iters
+    best = float("inf")
+    for _ in range(repeats):
+        # overhead estimate: one chained iteration + scalar D2H
+        t1 = time.perf_counter()
+        _ = np.asarray(step(engine.params, images, carry))
+        overhead = time.perf_counter() - t1
+        t0 = time.perf_counter()
+        for _ in range(iters + 1):
+            carry = step(engine.params, images, carry)
+        _ = np.asarray(carry)
+        total = time.perf_counter() - t0
+        best = min(best, max(total - overhead, 1e-9) / iters)
+    return best
 
 
 def main() -> None:

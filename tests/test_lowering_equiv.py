@@ -83,3 +83,28 @@ def test_fused_sepconv_matches_xla(c_in, c_out, h, w):
     # identical fraction should be high: same math, different assoc. order
     same = np.mean(np.asarray(ref, np.float32) == np.asarray(out, np.float32))
     assert same > 0.8
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("h,w", [(46, 54), (92, 164)])
+def test_pallas_paf_sampler_matches_gather(seed, h, w):
+    """Pallas in-VMEM sampler (interpret mode) vs gather — bit-exact."""
+    import functools
+    import unittest.mock
+
+    from jax.experimental import pallas as pl
+
+    from openpose_plus_tpu.ops.pallas.paf_sample import sample_paf_pallas
+
+    rng = np.random.default_rng(seed)
+    pafm = jnp.asarray(rng.random((h, w, 38), np.float32) - 0.5)
+    l, s, k = 19, 10, 16
+    sy = jnp.asarray(rng.integers(0, h, (l, s, k, k), np.int32))
+    sx = jnp.asarray(rng.integers(0, w, (l, s, k, k), np.int32))
+    gx, gy = jax.jit(jpaf._sample_paf_gather)(pafm, sy, sx)
+    with unittest.mock.patch.object(
+            pl, "pallas_call", functools.partial(pl.pallas_call,
+                                                 interpret=True)):
+        ox, oy = sample_paf_pallas(pafm, sy, sx)
+    np.testing.assert_array_equal(np.asarray(gx), np.asarray(ox))
+    np.testing.assert_array_equal(np.asarray(gy), np.asarray(oy))
