@@ -11,6 +11,11 @@ one entry point:
     python -m openpose_plus_tpu bench
     python -m openpose_plus_tpu eval   --annotations ... --images ...
     python -m openpose_plus_tpu train  --model vgg19 ...
+    python -m openpose_plus_tpu export --out engine_dir/ --batch 8
+
+`export` is the reference's export-uff.py analogue: a frozen, self-contained
+StableHLO artifact (weights baked in) that `infer --engine-dir` reloads
+without the model-building code.
 """
 
 from __future__ import annotations
@@ -66,7 +71,14 @@ def cmd_infer(args) -> int:
     from openpose_plus_tpu import native
     from openpose_plus_tpu.eval_coco import humans_to_detections
 
-    eng = _build_engine(args)
+    if getattr(args, "engine_dir", None):
+        # frozen StableHLO artifact (the reference's run-from-.uff path)
+        from openpose_plus_tpu.export import load_engine
+
+        eng = load_engine(args.engine_dir)
+        args.batch = eng.batch_size
+    else:
+        eng = _build_engine(args)
     m = eng.config.model
     paths = _expand(args.images)
     if not paths:
@@ -215,6 +227,17 @@ def cmd_train(args, extra) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Freeze the engine to a StableHLO artifact (export-uff.py analogue)."""
+    from openpose_plus_tpu.export import save_engine
+
+    eng = _build_engine(args)
+    save_engine(eng, args.out, batch_size=args.batch)
+    print(json.dumps({"out": args.out, "model": args.model,
+                      "batch_size": args.batch}))
+    return 0
+
+
 def _expand(patterns) -> list[str]:
     out = []
     for p in patterns:
@@ -233,6 +256,9 @@ def main(argv: Optional[list[str]] = None) -> int:
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--draw-dir", default=None)
     p.add_argument("--json-out", default=None)
+    p.add_argument("--engine-dir", default=None,
+                   help="run a frozen artifact from `export` instead of "
+                        "building the model")
 
     p = sub.add_parser("stream", help="pipelined stream throughput")
     _engine_flags(p)
@@ -263,13 +289,20 @@ def main(argv: Optional[list[str]] = None) -> int:
 
     p = sub.add_parser("train", help="train a model (see train.py flags)")
 
+    p = sub.add_parser("export", help="freeze the engine to a StableHLO "
+                                      "artifact (export-uff.py analogue)")
+    _engine_flags(p)
+    p.add_argument("--out", required=True, help="output artifact directory")
+    p.add_argument("--batch", type=int, default=1)
+
     args, extra = parser.parse_known_args(argv)
     if args.cmd == "train":
         return cmd_train(args, extra)
     if extra:
         parser.error(f"unknown arguments: {extra}")
     return {"infer": cmd_infer, "stream": cmd_stream, "camera": cmd_camera,
-            "bench": cmd_bench, "eval": cmd_eval}[args.cmd](args)
+            "bench": cmd_bench, "eval": cmd_eval,
+            "export": cmd_export}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -59,7 +59,12 @@ def save_engine(engine: Engine, path: str, batch_size: int = 1) -> None:
 
 
 class ExportedEngine:
-    """Loaded artifact: infer(images u8 (B, hin, win, 3)) -> HumanBatch."""
+    """Loaded artifact: infer(images u8 (B, hin, win, 3)) -> HumanBatch.
+
+    Duck-types the slice of Engine the CLI apps use (`infer`, `config`), so
+    `pose infer --engine-dir ...` can run a frozen artifact with no model
+    code — the reference's deploy-the-.uff workflow.
+    """
 
     def __init__(self, path: str):
         from jax import export as jexport
@@ -69,6 +74,20 @@ class ExportedEngine:
         with open(os.path.join(path, _ARTIFACT), "rb") as f:
             self._exported = jexport.deserialize(f.read())
         self._call = jax.jit(self._exported.call)
+
+    @property
+    def config(self):
+        import dataclasses
+
+        from openpose_plus_tpu.config import default_config
+
+        cfg = default_config(self.manifest["model"])
+        return cfg.replace(model=dataclasses.replace(
+            cfg.model, hin=self.manifest["hin"], win=self.manifest["win"]))
+
+    @property
+    def batch_size(self) -> int:
+        return int(self.manifest["batch_size"])
 
     def infer(self, images: np.ndarray | jax.Array) -> HumanBatch:
         out = self._call(jnp.asarray(images))

@@ -67,3 +67,22 @@ def test_cli_missing_images(tmp_path):
                    "--input-width", "64", "--images",
                    str(tmp_path / "none*.jpg")])
     assert rc == 2
+
+
+def test_cli_export_then_infer_from_artifact(images, tmp_path):
+    """export -> frozen StableHLO dir -> infer --engine-dir round trip."""
+    eng_dir = str(tmp_path / "engine")
+    rc = cli.main([
+        "export", "--model", "vggtiny", "--input-height", "64",
+        "--input-width", "64", "--out", eng_dir, "--batch", "2",
+    ])
+    assert rc == 0
+    assert os.path.exists(os.path.join(eng_dir, "manifest.json"))
+
+    out_json = str(tmp_path / "art.json")
+    rc = cli.main([
+        "infer", "--images", *images, "--engine-dir", eng_dir,
+        "--json-out", out_json,
+    ])
+    assert rc == 0
+    assert len(json.load(open(out_json))) == 3
