@@ -128,6 +128,10 @@ class TrainConfig:
     log_every: int = 100
     checkpoint_every: int = 5000
     checkpoint_dir: str = "checkpoints"
+    # Structured metrics: append one CSV row per log_every interval
+    # (step, loss, branch losses, lr, imgs/s). "" disables. The TPU-side
+    # observability analogue of the reference's TL print logs (SURVEY.md §5).
+    metrics_csv: str = ""
     # Periodic predicted-vs-GT heatmap renders (reference draw_results
     # dumps); 0 disables.
     vis_every: int = 0

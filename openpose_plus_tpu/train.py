@@ -202,6 +202,7 @@ def train_loop(config: Config, n_steps: Optional[int] = None,
     pipeline = TrainPipeline(dataset, config,
                              seed=config.train.seed + jax.process_index())
 
+    csv_writer = _metrics_csv_writer(config)
     it = iter(pipeline)
     t0 = time.perf_counter()
     imgs_since = 0
@@ -216,6 +217,7 @@ def train_loop(config: Config, n_steps: Optional[int] = None,
                 log(f"step {i + 1} loss {float(metrics['loss']):.2f} "
                     f"lr {float(metrics['lr']):.2e} "
                     f"{imgs_since / dt:.1f} img/s")
+                csv_writer(i + 1, metrics, imgs_since / dt)
                 t0 = time.perf_counter()
                 imgs_since = 0
             if (i + 1) % config.train.checkpoint_every == 0:
@@ -231,6 +233,31 @@ def train_loop(config: Config, n_steps: Optional[int] = None,
     finally:
         pipeline.stop()
     return state
+
+
+def _metrics_csv_writer(config: Config):
+    """Row-per-log-interval CSV metrics (no-op when metrics_csv is empty);
+    process 0 only. Columns: step, loss, loss_conf_last, loss_paf_last,
+    lr, imgs_per_sec."""
+    path = config.train.metrics_csv
+    if not path or jax.process_index() != 0:
+        return lambda *a: None
+    import os
+
+    new = not os.path.exists(path)
+    if os.path.dirname(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+    f = open(path, "a", buffering=1)
+    if new:
+        f.write("step,loss,loss_conf_last,loss_paf_last,lr,imgs_per_sec\n")
+
+    def write(step, metrics, imgs_per_sec):
+        f.write(f"{step},{float(metrics['loss']):.6g},"
+                f"{float(metrics['loss_conf_last']):.6g},"
+                f"{float(metrics['loss_paf_last']):.6g},"
+                f"{float(metrics['lr']):.6g},{imgs_per_sec:.2f}\n")
+
+    return write
 
 
 def _single_replica(state: TrainState, strategy: str) -> TrainState:
@@ -295,6 +322,8 @@ def main(argv: Optional[list[str]] = None) -> None:
     p.add_argument("--train-images", default=None)
     p.add_argument("--train-annotations", default=None)
     p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--metrics-csv", default=None,
+                   help="append per-log-interval metrics rows here")
     args = p.parse_args(argv)
 
     from openpose_plus_tpu.config import default_config
@@ -305,6 +334,8 @@ def main(argv: Optional[list[str]] = None) -> None:
         tr = dataclasses.replace(tr, batch_size=args.batch_size)
     if args.checkpoint_dir:
         tr = dataclasses.replace(tr, checkpoint_dir=args.checkpoint_dir)
+    if args.metrics_csv:
+        tr = dataclasses.replace(tr, metrics_csv=args.metrics_csv)
     da = cfg.data
     if args.train_images:
         da = dataclasses.replace(da, train_images=args.train_images)

@@ -146,13 +146,16 @@ def test_train_loop_end_to_end(tmp_path):
                                  prefetch=2),
         train=dataclasses.replace(cfg.train, batch_size=8, log_every=2,
                                   checkpoint_every=3,
-                                  checkpoint_dir=str(tmp_path / "ck")),
+                                  checkpoint_dir=str(tmp_path / "ck"),
+                                  metrics_csv=str(tmp_path / "metrics.csv")),
     )
     logs = []
     state = T.train_loop(cfg, n_steps=3, log=logs.append)
     assert int(state.step) == 3
     assert ckpt.latest_step(str(tmp_path / "ck")) == 3
     assert any("loss" in l for l in logs)
+    rows = open(tmp_path / "metrics.csv").read().strip().splitlines()
+    assert rows[0].startswith("step,loss,") and len(rows) >= 2
     # resume picks up from the checkpoint
     state2 = T.train_loop(cfg, n_steps=3, log=logs.append)
     assert int(state2.step) == 3
