@@ -116,9 +116,17 @@ def _decode_single(conf: jax.Array, paf_map: jax.Array,
     gids = subsets.parts                                 # (M, 18)
     part_valid = gids >= 0
     safe = jnp.where(part_valid, gids, 0)
-    coords = jnp.stack([rx_flat[safe], ry_flat[safe]], axis=-1)
-    coords = jnp.where(part_valid[..., None], coords, 0.0)
-    part_scores = jnp.where(part_valid, peak_score_flat[safe], 0.0)
+    # Look up (x, y, score) per assigned peak as ONE one-hot matmul instead
+    # of three scalar gathers (gathers serialize on TPU; a one-hot row
+    # selects exactly one value, so this is bit-identical at HIGHEST).
+    table = jnp.stack([rx_flat, ry_flat, peak_score_flat], axis=-1)
+    onehot = (safe.reshape(-1)[:, None]
+              == jnp.arange(table.shape[0])).astype(table.dtype)
+    vals = jnp.matmul(onehot, table,
+                      precision=jax.lax.Precision.HIGHEST)  # (M*18, 3)
+    vals = vals.reshape(*safe.shape, 3)
+    coords = jnp.where(part_valid[..., None], vals[..., :2], 0.0)
+    part_scores = jnp.where(part_valid, vals[..., 2], 0.0)
 
     count = subsets.count
     mean_score = jnp.where(count > 0, subsets.score / jnp.maximum(count, 1), 0.0)

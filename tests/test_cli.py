@@ -86,3 +86,13 @@ def test_cli_export_then_infer_from_artifact(images, tmp_path):
     ])
     assert rc == 0
     assert len(json.load(open(out_json))) == 3
+
+
+def test_cli_stream_smoke(images):
+    """stream subcommand end-to-end on the CPU backend (loop mode)."""
+    rc = cli.main([
+        "stream", "--model", "vggtiny", "--input-height", "64",
+        "--input-width", "64", "--images", *images, "--batch", "2",
+        "--workers", "2", "--loop", "--repeat", "3",
+    ])
+    assert rc == 0
