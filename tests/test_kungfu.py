@@ -150,3 +150,31 @@ def test_strategies_learn(rng):
             state, metrics = fns[i % len(fns)](state, batch)
             losses.append(float(metrics["loss"]))
         assert losses[-1] < losses[0] * 0.9, (strategy, losses)
+
+
+def test_train_loop_with_sma_strategy(tmp_path):
+    """train_loop end-to-end under a decentralized strategy: per-device
+    replicas, checkpointing worker 0's replica, resume restacking."""
+    from openpose_plus_tpu import checkpoint as ckpt
+    from tests.test_train import _write_fake_dataset
+
+    ann, imgs = _write_fake_dataset(tmp_path)
+    cfg = _tiny_config(batch=8)
+    cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data, train_annotations=ann,
+                                 train_images=imgs, num_workers=1,
+                                 prefetch=2),
+        train=dataclasses.replace(cfg.train, batch_size=8, log_every=2,
+                                  checkpoint_every=2, kf_optimizer="sma",
+                                  checkpoint_dir=str(tmp_path / "ck")),
+    )
+    logs = []
+    state = T.train_loop(cfg, n_steps=2, log=logs.append)
+    # per-device replicas: step has the replica axis, all replicas advanced
+    assert state.step.shape == (8,) and int(state.step[0]) == 2
+    assert _max_replica_spread(state.params) == 0.0  # sma equalizes
+    # checkpoint holds a single (worker-0) replica and resume restacks it
+    assert ckpt.latest_step(str(tmp_path / "ck")) == 2
+    state2 = T.train_loop(cfg, n_steps=2, log=logs.append)
+    assert any("resumed from step 2" in l for l in logs)
+    assert int(state2.step[0]) == 2
