@@ -72,7 +72,18 @@ def cmd_infer(args) -> int:
     from openpose_plus_tpu.eval_coco import humans_to_detections
 
     if getattr(args, "engine_dir", None):
-        # frozen StableHLO artifact (the reference's run-from-.uff path)
+        # frozen StableHLO artifact (the reference's run-from-.uff path);
+        # the artifact fixes model/weights/dims/grouping at export time, so
+        # engine-building flags cannot be honored — reject rather than
+        # silently ignore them.
+        for flag, default in (("checkpoint", None), ("fidelity", False),
+                              ("model", "mobilenet_thin"),
+                              ("input_height", 368), ("input_width", 432)):
+            if getattr(args, flag, default) != default:
+                print(f"--engine-dir runs a frozen artifact; --{flag} "
+                      f"has no effect (set it at `export` time)",
+                      file=sys.stderr)
+                return 2
         from openpose_plus_tpu.export import load_engine
 
         eng = load_engine(args.engine_dir)

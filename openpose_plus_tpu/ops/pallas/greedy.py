@@ -57,6 +57,8 @@ def greedy_assign_pallas(scores: jax.Array, max_peaks: int,
     vmap over the batch; semantics identical to paf.greedy_assign.
     """
     n_limbs, k, _ = scores.shape
+    if k != max_peaks:
+        raise ValueError(f"scores K dim {k} != max_peaks {max_peaks}")
     kernel = functools.partial(_greedy_kernel, k=k)
     sa, sb, sc, ok = pl.pallas_call(
         kernel,

@@ -82,6 +82,13 @@ def make_kungfu_steps(config: Config, mesh: Mesh, strategy: str
                          f"choose from {STRATEGIES}")
     axis = mesh.axis_names[0]
     n = mesh.shape[axis]
+    for other in mesh.axis_names[1:]:
+        if mesh.shape[other] != 1:
+            raise ValueError(
+                f"kf strategy {strategy!r} shards over {axis!r} only; mesh "
+                f"axis {other!r} has size {mesh.shape[other]} — spatial "
+                f"partitioning is not supported with decentralized "
+                f"strategies (use kf_optimizer='sync-sgd')")
     if strategy == "pair-avg" and (n & (n - 1) or n < 2):
         raise ValueError(f"pair-avg hypercube gossip needs a power-of-two "
                          f"device count, got {n}")

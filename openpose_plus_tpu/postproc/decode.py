@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from openpose_plus_tpu.config import PostprocConfig
-from openpose_plus_tpu.postproc import group, nms, paf
+from openpose_plus_tpu.postproc import common, group, nms, paf
 
 
 @flax.struct.dataclass
@@ -61,19 +61,6 @@ class HumanBatch:
         return out
 
 
-def _tpu_backend() -> bool:
-    """True when tracing for a TPU-class backend (Pallas kernels usable).
-
-    The sequential-merge Pallas kernel is ~5x faster than the XLA
-    fori_loop lowering on TPU; CPU (tests) uses the XLA path, whose exact
-    parity with the oracle is enforced by tests/test_postproc_parity.py,
-    and kernel-vs-XLA equality by tests/test_pallas_merge.py.
-    """
-    from openpose_plus_tpu.postproc import common
-
-    return common.tpu_backend()
-
-
 def preprocess_single(conf: jax.Array, paf_map: jax.Array,
                       cfg: PostprocConfig) -> tuple[jax.Array, jax.Array]:
     """Upsample both map stacks and smooth the confidence maps.
@@ -99,7 +86,10 @@ def _decode_single(conf: jax.Array, paf_map: jax.Array,
 
     k = cfg.max_peaks
     peak_score_flat = peaks.score.reshape(-1)           # (18*K,)
-    if _tpu_backend():
+    # TPU backends take the Pallas kernels for the serial tail; CPU (tests)
+    # takes the XLA twins. Oracle parity and kernel-vs-XLA equality are
+    # both test-enforced (test_postproc_parity, test_pallas_*).
+    if common.tpu_backend():
         from openpose_plus_tpu.ops.pallas.greedy import greedy_assign_pallas
         from openpose_plus_tpu.ops.pallas.merge import assemble_pallas
 

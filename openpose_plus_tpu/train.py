@@ -244,18 +244,22 @@ def _metrics_csv_writer(config: Config):
         return lambda *a: None
     import os
 
-    new = not os.path.exists(path)
     if os.path.dirname(path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
-    f = open(path, "a", buffering=1)
-    if new:
-        f.write("step,loss,loss_conf_last,loss_paf_last,lr,imgs_per_sec\n")
+    if not os.path.exists(path):
+        with open(path, "w") as f:
+            f.write("step,loss,loss_conf_last,loss_paf_last,lr,"
+                    "imgs_per_sec\n")
 
     def write(step, metrics, imgs_per_sec):
-        f.write(f"{step},{float(metrics['loss']):.6g},"
-                f"{float(metrics['loss_conf_last']):.6g},"
-                f"{float(metrics['loss_paf_last']):.6g},"
-                f"{float(metrics['lr']):.6g},{imgs_per_sec:.2f}\n")
+        # open-per-row: rows land every log_every steps, so reopening is
+        # free, nothing leaks across train_loop calls, and a crash never
+        # loses buffered rows.
+        with open(path, "a") as f:
+            f.write(f"{step},{float(metrics['loss']):.6g},"
+                    f"{float(metrics['loss_conf_last']):.6g},"
+                    f"{float(metrics['loss_paf_last']):.6g},"
+                    f"{float(metrics['lr']):.6g},{imgs_per_sec:.2f}\n")
 
     return write
 

@@ -2,14 +2,12 @@
 from __future__ import annotations
 
 import os
-import time
+
+import _prof
+
+_prof.setup_cache()
 
 import jax
-
-cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "..", ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
 import numpy as np
@@ -22,19 +20,7 @@ K = 16
 ITERS = 20
 
 
-def timed(step, *args):
-    carry = jnp.float32(0.0)
-    carry = step(*args, carry)
-    _ = np.asarray(carry)
-    t1 = time.perf_counter()
-    _ = np.asarray(step(*args, carry))
-    overhead = time.perf_counter() - t1
-    t0 = time.perf_counter()
-    for _ in range(ITERS + 1):
-        carry = step(*args, carry)
-    _ = np.asarray(carry)
-    total = time.perf_counter() - t0
-    return max(total - overhead, 1e-9) / ITERS
+timed = _prof.timed
 
 
 def main():
