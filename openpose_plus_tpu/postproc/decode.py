@@ -78,11 +78,17 @@ def preprocess_single(conf: jax.Array, paf_map: jax.Array,
 def _decode_single(conf: jax.Array, paf_map: jax.Array,
                    cfg: PostprocConfig) -> HumanBatch:
     """Decode one image's (H, W, 19) conf + (H, W, 38) paf maps."""
-    smoothed, paf_u = preprocess_single(conf, paf_map, cfg)
+    # Only the conf maps are materialized at upsampled resolution (peak
+    # finding needs the actual grid); PAF sampling reads upsampled values
+    # directly from the raw map via score_candidates(lowres_factor=...),
+    # to ~1 ulp (tests/test_lowering_equiv.py) — this skips a
+    # (H*f, W*f, 38) HBM round-trip and cuts the sampling contraction f^2 x.
+    conf_u = nms.upsample(conf, cfg.upsample_factor)
+    smoothed = nms.gaussian_smooth(conf_u, cfg.smooth_sigma)
     peaks = nms.find_peaks(smoothed, cfg.peak_threshold, cfg.max_peaks)
     cand_scores = paf.score_candidates(
-        paf_u, peaks, cfg.paf_n_samples, cfg.paf_sample_threshold,
-        cfg.paf_inlier_ratio)
+        paf_map, peaks, cfg.paf_n_samples, cfg.paf_sample_threshold,
+        cfg.paf_inlier_ratio, lowres_factor=cfg.upsample_factor)
 
     k = cfg.max_peaks
     peak_score_flat = peaks.score.reshape(-1)           # (18*K,)

@@ -75,17 +75,91 @@ def _sample_paf_onehot(paf: jax.Array, sy: jax.Array, sx: jax.Array
     return px, py
 
 
+def _lowres_axis_weights(coords_up: jax.Array, size_lo: int, factor: int
+                         ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Bilinear taps on the low-res axis for integer coords on the upsampled
+    axis, reproducing jax.image.resize('linear')'s weight matrix exactly.
+
+    resize (half-pixel centers, translation 0) puts upsampled pixel i at
+    source coordinate s = (i + 0.5)/factor - 0.5 with triangle-kernel weights
+    (1-d, d) on (floor(s), floor(s)+1), normalized over in-range taps. For
+    power-of-two factors every quantity here is dyadic, so the weights are
+    bit-identical to compute_weight_mat's (the downstream *contraction* is
+    only ulp-identical — see _sample_paf_lowres).
+    """
+    s = (coords_up.astype(jnp.float32) + 0.5) * (1.0 / factor) - 0.5
+    i0f = jnp.floor(s)
+    d = s - i0f
+    i0 = i0f.astype(jnp.int32)
+    i1 = i0 + 1
+    in0 = (i0 >= 0) & (i0 < size_lo)
+    in1 = (i1 >= 0) & (i1 < size_lo)
+    w0 = jnp.where(in0, 1.0 - d, 0.0)
+    w1 = jnp.where(in1, d, 0.0)
+    total = w0 + w1  # exactly 1.0 interior; single-tap weight at the edges
+    w0 = w0 / total
+    w1 = w1 / total
+    return jnp.clip(i0, 0, size_lo - 1), jnp.clip(i1, 0, size_lo - 1), w0, w1
+
+
+def _sample_paf_lowres(paf_lo: jax.Array, sy: jax.Array, sx: jax.Array,
+                       factor: int) -> tuple[jax.Array, jax.Array]:
+    """Sample the `factor`-upsampled PAF at integer coords (sy, sx) WITHOUT
+    materializing the upsampled map: bilinear-resize output values are a
+    <=2x2-tap contraction of the low-res map, so the one-hot rows of
+    _sample_paf_onehot become 2-hot resize-weight rows on a map `factor**2`x
+    smaller — same MXU lowering, ~factor^2 fewer FLOPs and no (H, W, 38)
+    upsample in HBM. Matches gather-on-resized to ~1 ulp (identical resize
+    weights, but XLA dots use FMA so rounding depends on each lowering's
+    reduction tree) — enforced on random + edge coords by
+    tests/test_lowering_equiv.py.
+    """
+    h, w = paf_lo.shape[0], paf_lo.shape[1]
+    l, s, k, _ = sy.shape
+    n = s * k * k
+    chans = skeleton.paf_channels_array()                # (L, 2) static
+    paf_pairs = paf_lo[:, :, jnp.asarray(chans)]         # (h, w, L, 2)
+    syf = sy.reshape(l, n)
+    sxf = sx.reshape(l, n)
+    y0, y1, wy0, wy1 = _lowres_axis_weights(syf, h, factor)
+    x0, x1, wx0, wx1 = _lowres_axis_weights(sxf, w, factor)
+    ar_h = jnp.arange(h)
+    ar_w = jnp.arange(w)
+    oy = (wy0[..., None] * (y0[..., None] == ar_h)
+          + wy1[..., None] * (y1[..., None] == ar_h))    # (L, n, h)
+    ox = (wx0[..., None] * (x0[..., None] == ar_w)
+          + wx1[..., None] * (x1[..., None] == ar_w))    # (L, n, w)
+    # y-axis first, matching the numpy oracle's association order. NOT
+    # bit-identical to resize+gather: XLA dots fuse multiply-add (FMA), so
+    # rounding depends on the lowering's reduction tree — the paths agree
+    # to ~1 ulp, which the toleranced parity tests already absorb (the CPU
+    # decode path likewise differs from the numpy oracle at the ulp level).
+    prec = jax.lax.Precision.HIGHEST
+    t = jnp.einsum("lnh,hwlc->lnwc", oy, paf_pairs, precision=prec)
+    vals = jnp.einsum("lnw,lnwc->lnc", ox, t, precision=prec)
+    px = vals[..., 0].reshape(l, s, k, k)
+    py = vals[..., 1].reshape(l, s, k, k)
+    return px, py
+
+
 def score_candidates(paf: jax.Array, peaks: PeakSet, n_samples: int,
-                     sample_threshold: float, inlier_ratio: float
-                     ) -> jax.Array:
+                     sample_threshold: float, inlier_ratio: float,
+                     lowres_factor: int = 1) -> jax.Array:
     """Dense candidate scores, (n_limbs, K, K); invalid pairs -> -inf.
 
     Nearest-neighbor PAF sampling at `n_samples` points along each segment
     (reference convention), mean dot with the unit limb direction, height
     prior penalty, >=ceil(ratio*n) inlier samples above sample_threshold.
+
+    With `lowres_factor > 1`, `paf` is the RAW network-resolution map and
+    peak coords live on the `lowres_factor`-upsampled grid; sampling then
+    reads the upsampled values without materializing the upsample (TPU:
+    factored 2-hot contraction; CPU: resize + gather — paths agree to ~1
+    ulp, see _sample_paf_lowres).
     """
     paf = jnp.asarray(paf)
-    h, w = paf.shape[0], paf.shape[1]
+    h = paf.shape[0] * lowres_factor
+    w = paf.shape[1] * lowres_factor
     pairs = jnp.asarray(skeleton.pairs_array())          # (L, 2)
     fracs = jnp.asarray(common.line_sample_fracs(n_samples))  # (S,)
 
@@ -107,9 +181,17 @@ def score_candidates(paf: jax.Array, peaks: PeakSet, n_samples: int,
     sy = jnp.round(ay[:, None, :, None]
                    + fracs[None, :, None, None] * dy[:, None]).astype(jnp.int32)
 
-    sample = (_sample_paf_onehot if common.tpu_backend()
-              else _sample_paf_gather)
-    px, py = sample(paf, sy, sx)
+    if lowres_factor > 1:
+        if common.tpu_backend():
+            px, py = _sample_paf_lowres(paf, sy, sx, lowres_factor)
+        else:
+            from openpose_plus_tpu.postproc import nms
+            px, py = _sample_paf_gather(nms.upsample(paf, lowres_factor),
+                                        sy, sx)
+    else:
+        sample = (_sample_paf_onehot if common.tpu_backend()
+                  else _sample_paf_gather)
+        px, py = sample(paf, sy, sx)
 
     dots = px * ux[:, None] + py * uy[:, None]                # (L, S, K, K)
     mean_dot = jnp.mean(dots, axis=1)

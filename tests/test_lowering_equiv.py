@@ -30,6 +30,37 @@ def test_onehot_sampling_matches_gather(seed, h, w):
     np.testing.assert_array_equal(np.asarray(gy), np.asarray(oy))
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("factor", [2, 8])
+@pytest.mark.parametrize("h,w", [(46, 54),   # net output aspect (wide)
+                                 (64, 48),   # tall
+                                 (48, 48)])  # square
+def test_lowres_sampling_matches_upsampled(seed, factor, h, w):
+    """Factored 2-hot sampling on the RAW map == gather on the materialized
+    jax.image.resize upsample to ~1 ulp: the resize weights are bit-equal
+    (dyadic for power-of-two factors) but XLA dots use FMA, so the two
+    lowerings' reduction trees round differently in the last bit. Values
+    are O(1), so a couple of float32 ulps (~2.4e-7) bounds the difference."""
+    rng = np.random.default_rng(seed)
+    pafm = jnp.asarray(rng.random((h, w, 38), np.float32) - 0.5)
+    paf_u = nms.upsample(pafm, factor)
+    hu, wu = h * factor, w * factor
+    l, s, k = 19, 10, 8
+    sy = rng.integers(0, hu, (l, s, k, k)).astype(np.int32)
+    sx = rng.integers(0, wu, (l, s, k, k)).astype(np.int32)
+    # force edge rows/cols into the set (single-tap renormalized weights)
+    sy[:, 0, 0, :] = 0
+    sy[:, 0, 1, :] = hu - 1
+    sx[:, 1, 0, :] = 0
+    sx[:, 1, 1, :] = wu - 1
+    sy, sx = jnp.asarray(sy), jnp.asarray(sx)
+    gx, gy = jax.jit(jpaf._sample_paf_gather)(paf_u, sy, sx)
+    fx, fy = jax.jit(
+        lambda p, a, b: jpaf._sample_paf_lowres(p, a, b, factor))(pafm, sy, sx)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(fx), atol=2.4e-7)
+    np.testing.assert_allclose(np.asarray(gy), np.asarray(fy), atol=2.4e-7)
+
+
 @pytest.mark.parametrize("seed", [0, 1])
 def test_topk_iterative_matches_lax_topk(seed):
     rng = np.random.default_rng(seed)
