@@ -69,22 +69,23 @@ def preprocess_single(conf: jax.Array, paf_map: jax.Array,
     floats the JAX pipeline consumes (peak plateaus compare floats for
     equality, so shared inputs are required for bit-exact parity).
     """
-    conf_u = nms.upsample(conf, cfg.upsample_factor)
+    smoothed = nms.upsample_smooth(conf, cfg.upsample_factor,
+                                   cfg.smooth_sigma)
     paf_u = nms.upsample(paf_map, cfg.upsample_factor)
-    smoothed = nms.gaussian_smooth(conf_u, cfg.smooth_sigma)
     return smoothed, paf_u
 
 
 def _decode_single(conf: jax.Array, paf_map: jax.Array,
                    cfg: PostprocConfig) -> HumanBatch:
     """Decode one image's (H, W, 19) conf + (H, W, 38) paf maps."""
-    # Only the conf maps are materialized at upsampled resolution (peak
-    # finding needs the actual grid); PAF sampling reads upsampled values
+    # Only the smoothed conf maps are materialized at upsampled resolution
+    # (peak finding needs the actual grid) — upsample+smooth run as ONE
+    # fused pair of contractions. PAF sampling reads upsampled values
     # directly from the raw map via score_candidates(lowres_factor=...),
     # to ~1 ulp (tests/test_lowering_equiv.py) — this skips a
     # (H*f, W*f, 38) HBM round-trip and cuts the sampling contraction f^2 x.
-    conf_u = nms.upsample(conf, cfg.upsample_factor)
-    smoothed = nms.gaussian_smooth(conf_u, cfg.smooth_sigma)
+    smoothed = nms.upsample_smooth(conf, cfg.upsample_factor,
+                                   cfg.smooth_sigma)
     peaks = nms.find_peaks(smoothed, cfg.peak_threshold, cfg.max_peaks)
     cand_scores = paf.score_candidates(
         paf_map, peaks, cfg.paf_n_samples, cfg.paf_sample_threshold,

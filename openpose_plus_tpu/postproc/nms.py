@@ -9,6 +9,8 @@ masked, and the whole stage jit-compiles and vmaps over the batch.
 
 from __future__ import annotations
 
+import functools
+
 import flax.struct
 import jax
 import jax.numpy as jnp
@@ -38,6 +40,53 @@ def upsample(maps: jax.Array, factor: int) -> jax.Array:
     return jax.image.resize(maps, (h * factor, w * factor, c), method="linear")
 
 
+@functools.lru_cache(maxsize=None)
+def _upsample_smooth_matrix(n_in: int, factor: int, sigma: float
+                            ) -> "np.ndarray":
+    """(n_in*factor, n_in) combined operator: bilinear resize (half-pixel
+    centers, jax.image.resize weight convention incl. edge renormalization)
+    followed by zero-padded Gaussian blur — composed in float64."""
+    import numpy as np
+
+    n_out = n_in * factor
+    src = (np.arange(n_out, dtype=np.float64) + 0.5) / factor - 0.5
+    i0 = np.floor(src).astype(np.int64)
+    d = src - i0
+    r = np.zeros((n_out, n_in), dtype=np.float64)
+    for tap, wt in ((i0, 1.0 - d), (i0 + 1, d)):
+        ok = (tap >= 0) & (tap < n_in)
+        r[np.arange(n_out)[ok], tap[ok]] += wt[ok]
+    r /= r.sum(axis=1, keepdims=True)  # edge single-tap renormalization
+    k = common.gaussian_kernel_1d(sigma).astype(np.float64)
+    if k.size > 1:
+        rad = k.size // 2
+        g = np.zeros((n_out, n_out), dtype=np.float64)
+        for j, kv in enumerate(k):
+            off = j - rad
+            idx = np.arange(max(0, -off), min(n_out, n_out - off))
+            g[idx, idx + off] = kv
+        r = g @ r
+    return r.astype(np.float32)
+
+
+def upsample_smooth(maps: jax.Array, factor: int, sigma: float) -> jax.Array:
+    """Fused bilinear-upsample + Gaussian-smooth of (H, W, C) maps.
+
+    Both stages are separable linear operators, so their composition is one
+    (H*f, H) x (W*f, W) pair of per-axis contractions: the upsampled map is
+    never materialized and the two conv passes disappear. Equals
+    upsample+gaussian_smooth to ~1 ulp (composed in float64, applied at
+    HIGHEST; association differs so FMA rounding differs in the last bit).
+    preprocess_single feeds the oracle these exact floats, so peak-plateau
+    parity is unaffected.
+    """
+    ay = jnp.asarray(_upsample_smooth_matrix(maps.shape[0], factor, sigma))
+    ax = jnp.asarray(_upsample_smooth_matrix(maps.shape[1], factor, sigma))
+    prec = jax.lax.Precision.HIGHEST
+    t = jnp.einsum("Yh,hwc->Ywc", ay, maps, precision=prec)
+    return jnp.einsum("Xw,Ywc->YXc", ax, t, precision=prec)
+
+
 def gaussian_smooth(maps: jax.Array, sigma: float) -> jax.Array:
     """Separable zero-padded Gaussian blur over (H, W, C)."""
     k = common.gaussian_kernel_1d(sigma)
@@ -64,23 +113,39 @@ def gaussian_smooth(maps: jax.Array, sigma: float) -> jax.Array:
     return x[0]
 
 
-def _subpixel_refine(m_flat: jax.Array, y: jax.Array, x: jax.Array,
-                     h: int, w: int) -> tuple[jax.Array, jax.Array]:
-    """Quadratic 3-tap refinement; zero offset at borders (matches oracle)."""
+def _subpixel_refine(maps: jax.Array, y: jax.Array, x: jax.Array
+                     ) -> tuple[jax.Array, jax.Array]:
+    """Quadratic 3-tap refinement; zero offset at borders (matches oracle).
 
-    def at(yy, xx):
-        return m_flat[yy * w + xx]
+    The five taps around each peak are read with factored one-hot
+    contractions instead of scalar gathers (gathers serialize on TPU).
+    One-hot selection is EXACT — each product is 1.0*v or 0.0*v, so any
+    reduction order (FMA or not) returns v bit-identically, keeping the
+    refine equal to the numpy oracle on every backend.
+
+    maps: (h, w, P) part channels; y/x: (P, K) int32 peak coords.
+    """
+    h, w = maps.shape[0], maps.shape[1]
+    d3 = jnp.arange(-1, 2)
+    ry = jnp.clip(y[:, :, None] + d3, 0, h - 1)           # (P, K, 3)
+    rx = jnp.clip(x[:, :, None] + d3, 0, w - 1)
+    oy_sel = (ry[..., None] == jnp.arange(h)).astype(jnp.bfloat16)
+    ox_sel = (rx[..., None] == jnp.arange(w)).astype(jnp.bfloat16)
+    m = jnp.moveaxis(maps, -1, 0)                         # (P, h, w)
+    prec = jax.lax.Precision.HIGHEST
+    u = jnp.einsum("pkah,phw->pkaw", oy_sel, m, precision=prec,
+                   preferred_element_type=jnp.float32)
+    patch = jnp.einsum("pkaw,pkbw->pkab", u, ox_sel, precision=prec,
+                       preferred_element_type=jnp.float32)  # (P, K, 3, 3)
 
     def axis_offset(center, prev, nxt):
         denom = 2.0 * center - nxt - prev
         off = jnp.where(jnp.abs(denom) > 1e-6, 0.5 * (nxt - prev) / denom, 0.0)
         return jnp.clip(off, -0.5, 0.5)
 
-    c = at(y, x)
-    ox = axis_offset(c, at(y, jnp.maximum(x - 1, 0)),
-                     at(y, jnp.minimum(x + 1, w - 1)))
-    oy = axis_offset(c, at(jnp.maximum(y - 1, 0), x),
-                     at(jnp.minimum(y + 1, h - 1), x))
+    c = patch[..., 1, 1]
+    ox = axis_offset(c, patch[..., 1, 0], patch[..., 1, 2])
+    oy = axis_offset(c, patch[..., 0, 1], patch[..., 2, 1])
     ox = jnp.where((x > 0) & (x < w - 1), ox, 0.0)
     oy = jnp.where((y > 0) & (y < h - 1), oy, 0.0)
     return y.astype(jnp.float32) + oy, x.astype(jnp.float32) + ox
@@ -114,26 +179,43 @@ def _topk_iterative(flat: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
     return scores, idxs
 
 
+def _pool3x3(x: jax.Array) -> jax.Array:
+    """3x3 max-pool of (H, W, C) via shifted maxes (-inf padding).
+
+    Identical to reduce_window but fuses into the surrounding elementwise
+    ops on TPU (reduce_window lowers to a windowed reduction that costs
+    ~1.7ms at batch-8 bench shapes; this is free)."""
+    p = jnp.pad(x, ((1, 1), (0, 0), (0, 0)), constant_values=-jnp.inf)
+    rows = jnp.maximum(jnp.maximum(p[:-2], p[1:-1]), p[2:])
+    q = jnp.pad(rows, ((0, 0), (1, 1), (0, 0)), constant_values=-jnp.inf)
+    return jnp.maximum(jnp.maximum(q[:, :-2], q[:, 1:-1]), q[:, 2:])
+
+
 def find_peaks(smoothed: jax.Array, threshold: float, max_peaks: int
                ) -> PeakSet:
     """3x3 local-max NMS + per-part top-K on smoothed (H, W, >=18) maps.
 
-    A pixel is a peak iff it equals the 3x3 max-pool (i.e. >= all 8
-    neighbors under -inf padding) and is strictly above `threshold`;
-    ordering is descending score with ties broken by ascending flat index
-    (lax.top_k semantics), identical to oracle.find_peaks.
+    A pixel is a peak iff it equals the 3x3 max-pool (>= all 8 neighbors
+    under -inf padding), is strictly above `threshold`, AND has the lowest
+    flat index among equal-valued candidate neighbors (adjacent candidates
+    are necessarily exact ties; the lexicographic (value, -index) rule
+    keeps one pixel per plateau). Without the tie-break, exactly symmetric
+    inputs — symmetric synthetic scenes, constant regions — emit every
+    pixel of a 2x2 upsample plateau as a separate peak. Ordering is
+    descending score with ties broken by ascending flat index (lax.top_k
+    semantics), identical to oracle.find_peaks.
     """
     h, w = smoothed.shape[0], smoothed.shape[1]
     parts = smoothed[:, :, : skeleton.N_PARTS]
-    # Separable 3x3 max-pool via shifted maxes (-inf padding). Identical to
-    # reduce_window but fuses into the surrounding elementwise ops on TPU
-    # (reduce_window lowers to a windowed reduction that costs ~1.7ms at
-    # batch-8 bench shapes; this is free).
-    p = jnp.pad(parts, ((1, 1), (0, 0), (0, 0)), constant_values=-jnp.inf)
-    rows = jnp.maximum(jnp.maximum(p[:-2], p[1:-1]), p[2:])
-    q = jnp.pad(rows, ((0, 0), (1, 1), (0, 0)), constant_values=-jnp.inf)
-    pooled = jnp.maximum(jnp.maximum(q[:, :-2], q[:, 1:-1]), q[:, 2:])
-    is_peak = (parts >= pooled) & (parts > threshold)
+    pooled = _pool3x3(parts)
+    cand = (parts >= pooled) & (parts > threshold)
+    # Plateau tie-break. Any candidate adjacent to candidate p has exactly
+    # p's value (each is >= the other via their own windows), so keeping
+    # u == 3x3-max(u) with u = -flat_index selects the lowest index per
+    # plateau. Indices < 2^24 are exact in f32.
+    idx_f = jnp.arange(h * w, dtype=jnp.float32).reshape(h, w, 1)
+    u = jnp.where(cand, -idx_f, -jnp.inf)
+    is_peak = cand & (u >= _pool3x3(u))
     flat = jnp.where(is_peak, parts, -jnp.inf).reshape(h * w, skeleton.N_PARTS)
     flat = flat.T  # (n_parts, H*W)
     score, idx = _topk_iterative(flat, max_peaks)
@@ -141,9 +223,7 @@ def find_peaks(smoothed: jax.Array, threshold: float, max_peaks: int
     idx = jnp.where(valid, idx, 0)
     y = (idx // w).astype(jnp.int32)
     x = (idx % w).astype(jnp.int32)
-    m_flat = parts.reshape(h * w, skeleton.N_PARTS).T  # (n_parts, H*W)
-    ry, rx = jax.vmap(lambda mf, yy, xx: _subpixel_refine(mf, yy, xx, h, w))(
-        m_flat, y, x)
+    ry, rx = _subpixel_refine(parts, y, x)
     return PeakSet(
         y=y, x=x,
         score=jnp.where(valid, score, 0.0).astype(jnp.float32),

@@ -103,9 +103,12 @@ def find_peaks(maps: np.ndarray, threshold: float,
                max_peaks: int | None = None) -> OraclePeaks:
     """3x3 local-max NMS per part channel on (already smoothed) maps.
 
-    A pixel is a peak iff it is >= all 8 neighbors (zero-padded border) and
-    strictly above `threshold`. Ordered by descending score, ties broken by
-    ascending flat index — identical to the JAX top-k ordering.
+    A pixel is a peak iff it is >= all 8 neighbors (-inf-padded border),
+    strictly above `threshold`, and has the lowest flat index among
+    equal-valued candidate neighbors (one peak per exact plateau —
+    mirrors nms.find_peaks' lexicographic tie-break). Ordered by
+    descending score, ties broken by ascending flat index — identical to
+    the JAX top-k ordering.
     """
     h, w, _ = maps.shape
     ys, xs, scores = [], [], []
@@ -119,6 +122,16 @@ def find_peaks(maps: np.ndarray, threshold: float,
                     continue
                 is_max &= m >= padded[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
         is_max &= m > threshold
+        # plateau tie-break: lowest flat index among candidate neighbors
+        idx = np.arange(h * w, dtype=np.float32).reshape(h, w)
+        u = np.where(is_max, -idx, -np.inf)
+        up = np.pad(u, 1, constant_values=-np.inf)
+        umax = np.full((h, w), -np.inf, dtype=np.float32)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                umax = np.maximum(
+                    umax, up[1 + dy:1 + dy + h, 1 + dx:1 + dx + w])
+        is_max &= u >= umax
         py, px = np.nonzero(is_max)
         s = m[py, px]
         flat = py * w + px

@@ -125,18 +125,34 @@ def _sample_paf_lowres(paf_lo: jax.Array, sy: jax.Array, sx: jax.Array,
     x0, x1, wx0, wx1 = _lowres_axis_weights(sxf, w, factor)
     ar_h = jnp.arange(h)
     ar_w = jnp.arange(w)
+    # The 2-hot matrices are stored bf16: every resize weight is a dyadic
+    # rational k/(2*factor) (plus exact 0/1 at edges), representable in
+    # bf16's 8 mantissa bits for any factor <= 128, and the HIGHEST-
+    # precision dot upcasts bf16 operands to f32 losslessly — identical
+    # values at half the HBM traffic for the largest tensors here.
+    dt = jnp.bfloat16
     oy = (wy0[..., None] * (y0[..., None] == ar_h)
-          + wy1[..., None] * (y1[..., None] == ar_h))    # (L, n, h)
+          + wy1[..., None] * (y1[..., None] == ar_h)).astype(dt)  # (L, n, h)
     ox = (wx0[..., None] * (x0[..., None] == ar_w)
-          + wx1[..., None] * (x1[..., None] == ar_w))    # (L, n, w)
-    # y-axis first, matching the numpy oracle's association order. NOT
-    # bit-identical to resize+gather: XLA dots fuse multiply-add (FMA), so
-    # rounding depends on the lowering's reduction tree — the paths agree
-    # to ~1 ulp, which the toleranced parity tests already absorb (the CPU
-    # decode path likewise differs from the numpy oracle at the ulp level).
+          + wx1[..., None] * (x1[..., None] == ar_w)).astype(dt)  # (L, n, w)
+    # Contract the LONGER spatial axis first so the (L, n, short, 2)
+    # intermediate is as small as possible (maps are wider than tall at
+    # the reference aspect). NOT bit-identical to resize+gather either
+    # way: XLA dots fuse multiply-add (FMA), so rounding depends on the
+    # lowering's reduction tree — the paths agree to ~1 ulp, which the
+    # toleranced parity tests absorb (the CPU decode path likewise
+    # differs from the numpy oracle at the ulp level).
     prec = jax.lax.Precision.HIGHEST
-    t = jnp.einsum("lnh,hwlc->lnwc", oy, paf_pairs, precision=prec)
-    vals = jnp.einsum("lnw,lnwc->lnc", ox, t, precision=prec)
+    if w >= h:
+        t = jnp.einsum("lnw,hwlc->lnhc", ox, paf_pairs, precision=prec,
+                       preferred_element_type=jnp.float32)
+        vals = jnp.einsum("lnh,lnhc->lnc", oy, t, precision=prec,
+                          preferred_element_type=jnp.float32)
+    else:
+        t = jnp.einsum("lnh,hwlc->lnwc", oy, paf_pairs, precision=prec,
+                       preferred_element_type=jnp.float32)
+        vals = jnp.einsum("lnw,lnwc->lnc", ox, t, precision=prec,
+                          preferred_element_type=jnp.float32)
     px = vals[..., 0].reshape(l, s, k, k)
     py = vals[..., 1].reshape(l, s, k, k)
     return px, py

@@ -62,6 +62,61 @@ def test_lowres_sampling_matches_upsampled(seed, factor, h, w):
 
 
 @pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("factor,sigma", [(2, 1.25), (8, 5.0), (2, 0.0)])
+def test_fused_upsample_smooth_matches_sequential(seed, factor, sigma):
+    """upsample_smooth == gaussian_smooth(upsample(x)) to a few ulp (the
+    composed float64 operator associates differently than the two-stage
+    f32 path; both are ~1-ulp faithful). Also checks the refine path is
+    unperturbed: one-hot patch selection is exact under any reduction."""
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.random((46, 54, 19), np.float32))
+    seq = nms.gaussian_smooth(nms.upsample(x, factor), sigma)
+    fused = jax.jit(lambda m: nms.upsample_smooth(m, factor, sigma))(x)
+    assert fused.shape == seq.shape
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(seq),
+                               atol=5e-7)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_subpixel_refine_matches_scalar_taps(seed):
+    """One-hot patch extraction reproduces direct scalar indexing exactly
+    (selection products are 1.0*v / 0.0*v — exact under FMA too)."""
+    rng = np.random.default_rng(seed)
+    h, w, p, k = 92, 164, 18, 16
+    maps = jnp.asarray(rng.random((h, w, p), np.float32))
+    y = rng.integers(0, h, (p, k)).astype(np.int32)
+    x = rng.integers(0, w, (p, k)).astype(np.int32)
+    y[:, 0] = 0; y[:, 1] = h - 1; x[:, 2] = 0; x[:, 3] = w - 1  # borders
+    ry, rx = jax.jit(nms._subpixel_refine)(maps, jnp.asarray(y),
+                                           jnp.asarray(x))
+    m = np.asarray(maps)
+
+    def offset(c, prev, nxt):
+        den = 2.0 * np.float32(c) - np.float32(nxt) - np.float32(prev)
+        if abs(den) <= 1e-6:
+            return np.float32(0.0)
+        return np.clip(np.float32(0.5) * (np.float32(nxt)
+                                          - np.float32(prev)) / den,
+                       -0.5, 0.5)
+
+    for pi in range(p):
+        for ki in range(k):
+            yy, xx = int(y[pi, ki]), int(x[pi, ki])
+            ox = offset(m[yy, xx, pi], m[yy, max(xx - 1, 0), pi],
+                        m[yy, min(xx + 1, w - 1), pi])
+            oy = offset(m[yy, xx, pi], m[max(yy - 1, 0), xx, pi],
+                        m[min(yy + 1, h - 1), xx, pi])
+            if not (0 < xx < w - 1):
+                ox = np.float32(0.0)
+            if not (0 < yy < h - 1):
+                oy = np.float32(0.0)
+            np.testing.assert_allclose(float(rx[pi, ki]), xx + ox,
+                                       rtol=0, atol=1e-6)
+            np.testing.assert_allclose(float(ry[pi, ki]), yy + oy,
+                                       rtol=0, atol=1e-6)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
 def test_topk_iterative_matches_lax_topk(seed):
     rng = np.random.default_rng(seed)
     flat = rng.random((18, 1000)).astype(np.float32)

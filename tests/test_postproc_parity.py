@@ -53,14 +53,37 @@ def test_preprocess_numerics():
 
 def _scene(noise=0.0, seed=0, n_people=2):
     # Fractional centers: integer-grid keypoints create perfectly symmetric
-    # Gaussians whose upsampled maxima are 2-pixel plateaus, and plateau ties
-    # legitimately yield duplicate peaks in BOTH implementations.
+    # Gaussians whose upsampled maxima are exact 2-pixel plateaus; the
+    # lexicographic tie-break (one peak per plateau, lowest flat index)
+    # must agree between both implementations either way, but fractional
+    # centers also exercise the no-tie path.
     people = [maputil.standing_person(12.3 + 14.6 * i, 20.2, 0.9 + 0.11 * i)
               for i in range(n_people)]
     return maputil.make_maps(people, 46, 54, noise=noise, seed=seed)
 
 
 # ---------------------------------------------------------------- peaks ---
+
+def test_plateau_dedup():
+    """Exactly symmetric inputs (integer-grid keypoints -> exact 2x2
+    upsample plateaus) yield ONE peak per plateau, at the lowest flat
+    index, identically in oracle and JAX. Regression: without the
+    lexicographic tie-break every plateau pixel became a separate peak,
+    saturating top-k and fragmenting assembly."""
+    people = [maputil.standing_person(10, 8), maputil.standing_person(10, 30)]
+    conf, paf_map = maputil.make_maps(people, 46, 54)
+    smoothed, _ = _prep(conf, paf_map, CFG)
+    o = oracle.find_peaks(smoothed, CFG.peak_threshold, CFG.max_peaks)
+    j = nms.find_peaks(np.asarray(smoothed), CFG.peak_threshold,
+                       CFG.max_peaks)
+    total = int(np.asarray(j.valid).sum())
+    assert total == 2 * skeleton.N_PARTS, total  # one peak per part/person
+    for part in range(skeleton.N_PARTS):
+        n = len(o.scores[part])
+        assert int(np.asarray(j.valid)[part].sum()) == n
+        np.testing.assert_array_equal(np.asarray(j.y)[part, :n], o.ys[part])
+        np.testing.assert_array_equal(np.asarray(j.x)[part, :n], o.xs[part])
+
 
 @pytest.mark.parametrize("noise,seed", [(0.0, 0), (0.05, 1), (0.2, 2)])
 def test_peak_parity(noise, seed):
