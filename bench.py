@@ -96,13 +96,14 @@ def main() -> None:
     rng = np.random.default_rng(0)
     results = {}
 
-    def bench_engine(name, model, hin, win, batch):
+    def bench_engine(name, model, hin, win, batch, dtype="bfloat16"):
         cfg = default_config(model)
-        cfg = cfg.replace(model=dataclasses.replace(cfg.model, hin=hin,
-                                                    win=win))
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, hin=hin, win=win, compute_dtype=dtype))
         eng = Engine(cfg, fast_init=True)
         images = jax.device_put(jnp.asarray(rng.integers(
             0, 255, (batch, hin, win, 3), dtype=np.uint8)))
+        eng.calibrate(images)  # no-op for float modes
         dt = _device_loop_seconds(eng, images)
         results[name] = round(batch / dt, 2)
 
@@ -140,6 +141,11 @@ def main() -> None:
         # scaling headroom beyond the bs=8 headline (serving batch)
         bench_engine("e2e_fps_per_chip_368x656_bs32", "mobilenet_thin",
                      368, 656, 32)
+        # calibrated int8 serving (TensorRT int8 analogue): wins on the
+        # FLOPs-bound dense VGG (+~30%); NOT used for mobilenet, which is
+        # bandwidth-bound and regresses under int8 (measured; see README)
+        bench_engine("e2e_fps_vgg19_int8_368x656_bs8", "vgg19",
+                     368, 656, 8, dtype="int8")
     finally:
         with open(os.path.join(here, "bench_details.json"), "w") as f:
             json.dump(results, f, indent=2)

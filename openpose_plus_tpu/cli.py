@@ -37,6 +37,8 @@ def _build_engine(args) -> "Engine":
     cfg = default_config(args.model)
     mc = dataclasses.replace(cfg.model, hin=args.input_height,
                              win=args.input_width)
+    if getattr(args, "int8", False):
+        mc = dataclasses.replace(mc, compute_dtype="int8")
     cfg = cfg.replace(model=mc)
     if getattr(args, "fidelity", False):
         cfg = cfg.replace(postproc=cfg.postproc.fidelity())
@@ -46,7 +48,10 @@ def _build_engine(args) -> "Engine":
         from openpose_plus_tpu import train as T
         import jax
 
-        template = T.create_train_state(cfg, jax.random.PRNGKey(0))
+        # checkpoints are float-mode trees; int8 is applied at serve time
+        float_cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, compute_dtype="bfloat16"))
+        template = T.create_train_state(float_cfg, jax.random.PRNGKey(0))
         if args.checkpoint.endswith(".npz"):
             params = ckpt.load_npz(args.checkpoint, template.params)
         else:
@@ -62,6 +67,9 @@ def _engine_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--input-width", type=int, default=432)
     p.add_argument("--fidelity", action="store_true",
                    help="reference-style high-fidelity grouping (8x maps)")
+    p.add_argument("--int8", action="store_true",
+                   help="calibrated int8 serving (TensorRT int8 analogue; "
+                        "calibrates activation scales on the first batch)")
 
 
 def cmd_infer(args) -> int:
@@ -77,7 +85,7 @@ def cmd_infer(args) -> int:
         # engine-building flags cannot be honored — reject rather than
         # silently ignore them.
         for flag, default in (("checkpoint", None), ("fidelity", False),
-                              ("model", "mobilenet_thin"),
+                              ("model", "mobilenet_thin"), ("int8", False),
                               ("input_height", 368), ("input_width", 432)):
             if getattr(args, flag, default) != default:
                 print(f"--engine-dir runs a frozen artifact; --{flag} "

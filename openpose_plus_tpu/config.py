@@ -26,7 +26,11 @@ class ModelConfig:
     win: int = 432
     stride: int = 8            # backbone output stride
     n_stages: int = 6          # refinement stages (deep supervision)
-    compute_dtype: str = "bfloat16"  # MXU-friendly; params stay float32
+    # "bfloat16" (MXU-friendly; params stay float32), "float32", or "int8"
+    # — calibrated int8 inference, the reference's TensorRT int8 mode:
+    # dense/pointwise convs run int8 on the MXU (~2x bf16), depthwise and
+    # prediction layers stay bf16/f32. Inference-only; see Engine.calibrate.
+    compute_dtype: str = "bfloat16"
     # MobileNet width multiplier ("thin" = 0.75 in the reference family).
     width_multiplier: float = 0.75
     # Rematerialize stage activations in the backward pass (jax.checkpoint):

@@ -65,8 +65,24 @@ class Engine:
                     lambda s: jnp.asarray(
                         rng.normal(0.0, 0.05, s.shape).astype(s.dtype)),
                     shapes)
+                if "calib" in params:  # scales must start at 0, not noise
+                    params = dict(params)
+                    params["calib"] = jax.tree.map(
+                        lambda s: jnp.zeros(s.shape, s.dtype),
+                        shapes["calib"])
             else:
                 params = self.model.init(jax.random.PRNGKey(seed), dummy)
+        elif (self.config.model.compute_dtype == "int8"
+                and "calib" not in params):
+            # external float params (trained checkpoint): seed zeroed
+            # activation scales; calibrate() / first infer() fills them.
+            dummy = jnp.zeros(
+                (1, self.config.model.hin, self.config.model.win, 3),
+                jnp.float32)
+            shapes = jax.eval_shape(
+                lambda: self.model.init(jax.random.PRNGKey(seed), dummy))
+            params = {**params, "calib": jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype), shapes["calib"])}
         if mesh is not None:
             from openpose_plus_tpu.parallel.sharding import replicated
 
@@ -101,8 +117,35 @@ class Engine:
         with the horizontally-flipped input (maps mirrored back with
         part/limb channel permutation) — ~2x cost, higher AP.
         """
+        images = jnp.asarray(images)
+        if self._needs_calibration():
+            self.calibrate(images)  # implicit, on the first batch seen
         fn = self._infer_tta if flip_tta else self._infer
-        return fn(self.params, jnp.asarray(images))
+        return fn(self.params, images)
+
+    def calibrate(self, images: np.ndarray | jax.Array) -> None:
+        """Record int8 activation scales from representative images (the
+        TensorRT int8 calibration step). Runs the float forward with the
+        `calib` collection mutable; each quantized layer keeps the running
+        max|activation|. Call repeatedly to widen coverage; scales only
+        grow. No-op for float compute modes."""
+        if "calib" not in self.params:
+            return
+        _, updates = self.model.apply(
+            self.params, preprocess_images(jnp.asarray(images)),
+            mutable=["calib"])
+        self.params = {**self.params, "calib": updates["calib"]}
+        self._calibrated = True
+
+    def _needs_calibration(self) -> bool:
+        if "calib" not in self.params:
+            return False
+        if getattr(self, "_calibrated", False):
+            return False
+        leaves = jax.tree.leaves(self.params["calib"])
+        self._calibrated = bool(leaves) and bool(
+            max(float(np.asarray(v).max()) for v in leaves) > 0)
+        return not self._calibrated
 
     def forward(self, images: np.ndarray | jax.Array):
         """images -> (conf, paf) final-stage maps (no grouping)."""

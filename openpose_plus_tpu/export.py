@@ -29,6 +29,11 @@ def save_engine(engine: Engine, path: str, batch_size: int = 1) -> None:
     """Export the engine for a fixed batch size to `path/` (dir)."""
     from jax import export as jexport
 
+    if engine._needs_calibration():
+        raise ValueError(
+            "int8 engine exported before calibration: the activation "
+            "scales would be frozen at zero. Call Engine.calibrate() on "
+            "representative images first.")
     m = engine.config.model
     spec = jax.ShapeDtypeStruct((batch_size, m.hin, m.win, 3), jnp.uint8)
 

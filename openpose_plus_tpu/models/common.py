@@ -25,11 +25,48 @@ import jax.numpy as jnp
 # (N,H/8,W/8,19)], 'paf': [per-stage (N,H/8,W/8,38)], 'feature':
 # (N,H/8,W/8,C)} — a plain dict so it is a JAX pytree.
 def _dtype(name: str):
-    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
+    # "int8" is a quantized-inference MODE, not an activation dtype: dense
+    # convs run int8 x int8 -> int32 on the MXU with a float rescale
+    # epilogue, while everything between convs is carried in bfloat16.
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+            "int8": jnp.bfloat16}[name]
+
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def quantize_weight(kernel: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Symmetric per-output-channel int8 weight quantization.
+
+    kernel: (kh, kw, cin, cout) float32 -> (int8 kernel, (cout,) scales).
+    Runs at inference time on the tiny weight tensors (fused/negligible);
+    the float params stay the single source of truth, so one checkpoint
+    serves every compute mode (TensorRT-int8's calibration-cache analogue
+    keeps only ACTIVATION scales as state — see ConvRelu).
+    """
+    wmax = jnp.maximum(jnp.max(jnp.abs(kernel), axis=(0, 1, 2)), 1e-12)
+    qw = jnp.round(kernel / wmax * 127.0).astype(jnp.int8)
+    return qw, wmax
+
+
+def quantize_act(x: jax.Array, scale: jax.Array) -> jax.Array:
+    """Symmetric per-tensor int8 activation quantization (calibrated)."""
+    s = jnp.maximum(scale, 1e-6).astype(jnp.float32)
+    q = jnp.round(jnp.clip(x.astype(jnp.float32) / s, -1.0, 1.0) * 127.0)
+    return q.astype(jnp.int8)
 
 
 class ConvRelu(nn.Module):
-    """3x3-style conv + ReLU (the reference's tl.layers.Conv2d+relu)."""
+    """kxk conv + ReLU (the reference's tl.layers.Conv2d+relu).
+
+    compute_dtype="int8" runs the conv on the MXU in int8 (inference
+    only, ~2x bf16 at these shapes — the reference's TensorRT int8 mode):
+    per-channel weight scales derive from the float params on the fly;
+    the per-tensor activation scale is a `calib` collection variable
+    recorded by a calibration pass (Engine.calibrate — the TensorRT
+    calibration-cache analogue). While the calib collection is mutable
+    the layer computes in bf16 and records max|x| instead.
+    """
 
     features: int
     kernel: int = 3
@@ -39,11 +76,33 @@ class ConvRelu(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    strides=(self.stride, self.stride), padding="SAME",
-                    dtype=_dtype(self.compute_dtype),
-                    param_dtype=jnp.float32)(x)
-        return nn.relu(x) if self.act else x
+        k = self.kernel
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (k, k, x.shape[-1], self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        dt = _dtype(self.compute_dtype)
+        strides = (self.stride, self.stride)
+        if self.compute_dtype == "int8":
+            sv = self.variable("calib", "act_scale",
+                               lambda: jnp.zeros((), jnp.float32))
+            if self.is_mutable_collection("calib"):
+                sv.value = jnp.maximum(
+                    sv.value, jnp.max(jnp.abs(x)).astype(jnp.float32))
+            else:
+                qw, wmax = quantize_weight(kernel)
+                acc = jax.lax.conv_general_dilated(
+                    quantize_act(x, sv.value), qw, strides, "SAME",
+                    dimension_numbers=_DN,
+                    preferred_element_type=jnp.int32)
+                rescale = (jnp.maximum(sv.value, 1e-6) / (127.0 * 127.0)
+                           * wmax)
+                y = (acc.astype(jnp.float32) * rescale + bias).astype(dt)
+                return nn.relu(y) if self.act else y
+        y = jax.lax.conv_general_dilated(
+            x.astype(dt), kernel.astype(dt), strides, "SAME",
+            dimension_numbers=_DN) + bias.astype(dt)
+        return nn.relu(y) if self.act else y
 
 
 class SepConvRelu(nn.Module):
@@ -78,20 +137,39 @@ class SepConvRelu(nn.Module):
         pwb = self.param("pw_bias", nn.initializers.zeros_init(),
                          (self.features,), jnp.float32)
 
-        if self.fused and self.stride == 1 and k == 3 and dt == jnp.bfloat16:
+        if (self.fused and self.stride == 1 and k == 3
+                and self.compute_dtype == "bfloat16"):
             from openpose_plus_tpu.ops.pallas import sepconv
 
             if sepconv.fused_sepconv_fits(x.shape[1], x.shape[2], c_in,
                                           self.features):
                 return sepconv.fused_sepconv(x, dwk, dwb, pwk, pwb)
 
-        dn = ("NHWC", "HWIO", "NHWC")
         y = jax.lax.conv_general_dilated(
             x.astype(dt), dwk.astype(dt), (self.stride, self.stride),
-            "SAME", dimension_numbers=dn, feature_group_count=c_in)
+            "SAME", dimension_numbers=_DN, feature_group_count=c_in)
         y = nn.relu(y + dwb.astype(dt))
+        if self.compute_dtype == "int8":
+            # Depthwise stays bf16 (VPU-bound; int8 measured SLOWER there);
+            # the pointwise 1x1 — where the MACs are — runs on the MXU in
+            # int8 with calibrated activation scale, as in ConvRelu.
+            sv = self.variable("calib", "act_scale",
+                               lambda: jnp.zeros((), jnp.float32))
+            if self.is_mutable_collection("calib"):
+                sv.value = jnp.maximum(
+                    sv.value, jnp.max(jnp.abs(y)).astype(jnp.float32))
+            else:
+                qw, wmax = quantize_weight(pwk)
+                acc = jax.lax.conv_general_dilated(
+                    quantize_act(y, sv.value), qw, (1, 1), "SAME",
+                    dimension_numbers=_DN,
+                    preferred_element_type=jnp.int32)
+                rescale = (jnp.maximum(sv.value, 1e-6) / (127.0 * 127.0)
+                           * wmax)
+                return nn.relu(
+                    (acc.astype(jnp.float32) * rescale + pwb).astype(dt))
         y = jax.lax.conv_general_dilated(
-            y, pwk.astype(dt), (1, 1), "SAME", dimension_numbers=dn)
+            y, pwk.astype(dt), (1, 1), "SAME", dimension_numbers=_DN)
         return nn.relu(y + pwb.astype(dt))
 
 

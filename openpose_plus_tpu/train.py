@@ -82,6 +82,10 @@ def pose_loss(outputs: dict, gt_conf: jax.Array, gt_paf: jax.Array,
 
 
 def create_train_state(config: Config, rng: jax.Array) -> TrainState:
+    if config.model.compute_dtype == "int8":
+        raise ValueError(
+            "int8 is a calibrated inference mode (Engine.calibrate); train "
+            "in bfloat16/float32 — the same checkpoint then serves int8.")
     model = get_model(config.model)
     dummy = jnp.zeros((1, config.model.hin, config.model.win, 3), jnp.float32)
     params = model.init(rng, dummy)
