@@ -72,7 +72,14 @@ def load_npz(path: str, template: Any) -> Any:
             return {k: rebuild(v, f"{prefix}{k}/") for k, v in tree.items()}
         key = prefix.rstrip("/")
         if key not in flat:
-            raise KeyError(f"npz missing parameter {key!r}")
+            # ConvRelu once held its conv in an nn.Conv child ("Conv_0");
+            # accept checkpoints from before the flattening rename.
+            legacy = "/".join(key.split("/")[:-1]
+                              + ["Conv_0", key.split("/")[-1]])
+            if legacy in flat:
+                key = legacy
+            else:
+                raise KeyError(f"npz missing parameter {key!r}")
         arr = flat[key]
         if arr.shape != tuple(np.shape(tree)):
             raise ValueError(

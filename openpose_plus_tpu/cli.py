@@ -248,9 +248,34 @@ def cmd_train(args, extra) -> int:
 
 def cmd_export(args) -> int:
     """Freeze the engine to a StableHLO artifact (export-uff.py analogue)."""
+    import numpy as np
+
+    from openpose_plus_tpu import native
     from openpose_plus_tpu.export import save_engine
 
     eng = _build_engine(args)
+    if getattr(args, "int8", False):
+        # int8 artifacts freeze the activation scales — calibrate first
+        # (TensorRT: calibration happens at engine-build time too).
+        paths = _expand(getattr(args, "calib_images", None) or [])
+        if not paths:
+            print("--int8 export needs --calib-images (representative "
+                  "images; their max activations become the frozen "
+                  "quantization scales)", file=sys.stderr)
+            return 2
+        m = eng.config.model
+        imgs = []
+        for p in paths:
+            loaded = native.load_image(p, m.hin, m.win) \
+                if native.is_available() else None
+            if loaded is None:
+                from openpose_plus_tpu.data.augment import letterbox
+                from openpose_plus_tpu.data.pipeline import _load_image
+                img, _, _ = letterbox(_load_image(p), m.hin, m.win)
+            else:
+                img = loaded[0]
+            imgs.append(img)
+        eng.calibrate(np.stack(imgs))
     save_engine(eng, args.out, batch_size=args.batch)
     print(json.dumps({"out": args.out, "model": args.model,
                       "batch_size": args.batch}))
@@ -313,6 +338,9 @@ def main(argv: Optional[list[str]] = None) -> int:
     _engine_flags(p)
     p.add_argument("--out", required=True, help="output artifact directory")
     p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--calib-images", nargs="+", default=None,
+                   help="representative images for --int8 export "
+                        "(activation scales are frozen into the artifact)")
 
     args, extra = parser.parse_known_args(argv)
     if args.cmd == "train":

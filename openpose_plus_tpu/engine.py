@@ -143,13 +143,18 @@ class Engine:
         if getattr(self, "_calibrated", False):
             return False
         leaves = jax.tree.leaves(self.params["calib"])
-        self._calibrated = bool(leaves) and bool(
-            max(float(np.asarray(v).max()) for v in leaves) > 0)
+        # EVERY quantized layer needs a recorded scale: a tree that is only
+        # partially calibrated would silently saturate the zero-scale layers
+        self._calibrated = bool(leaves) and all(
+            float(np.asarray(v).max()) > 0 for v in leaves)
         return not self._calibrated
 
     def forward(self, images: np.ndarray | jax.Array):
         """images -> (conf, paf) final-stage maps (no grouping)."""
-        return self._forward(self.params, jnp.asarray(images))
+        images = jnp.asarray(images)
+        if self._needs_calibration():
+            self.calibrate(images)
+        return self._forward(self.params, images)
 
     def compile(self, batch_size: int) -> None:
         """AOT-compile for a fixed batch size (the reference's TensorRT

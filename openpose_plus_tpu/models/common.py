@@ -56,6 +56,31 @@ def quantize_act(x: jax.Array, scale: jax.Array) -> jax.Array:
     return q.astype(jnp.int8)
 
 
+def _int8_conv(mod: nn.Module, x: jax.Array, kernel: jax.Array,
+               bias: jax.Array, strides: tuple[int, int], act: bool
+               ) -> jax.Array | None:
+    """Shared quantized-conv path for ConvRelu/SepConvRelu.
+
+    While the `calib` collection is mutable (Engine.calibrate), records
+    max|x| into this layer's act_scale and returns None so the caller
+    runs its float path; otherwise runs the int8 MXU conv with a float
+    rescale epilogue and returns the bf16 activation.
+    """
+    sv = mod.variable("calib", "act_scale",
+                      lambda: jnp.zeros((), jnp.float32))
+    if mod.is_mutable_collection("calib"):
+        sv.value = jnp.maximum(sv.value, jnp.max(jnp.abs(x)).astype(
+            jnp.float32))
+        return None
+    qw, wmax = quantize_weight(kernel)
+    acc = jax.lax.conv_general_dilated(
+        quantize_act(x, sv.value), qw, strides, "SAME",
+        dimension_numbers=_DN, preferred_element_type=jnp.int32)
+    rescale = jnp.maximum(sv.value, 1e-6) / (127.0 * 127.0) * wmax
+    y = (acc.astype(jnp.float32) * rescale + bias).astype(jnp.bfloat16)
+    return nn.relu(y) if act else y
+
+
 class ConvRelu(nn.Module):
     """kxk conv + ReLU (the reference's tl.layers.Conv2d+relu).
 
@@ -84,21 +109,9 @@ class ConvRelu(nn.Module):
         dt = _dtype(self.compute_dtype)
         strides = (self.stride, self.stride)
         if self.compute_dtype == "int8":
-            sv = self.variable("calib", "act_scale",
-                               lambda: jnp.zeros((), jnp.float32))
-            if self.is_mutable_collection("calib"):
-                sv.value = jnp.maximum(
-                    sv.value, jnp.max(jnp.abs(x)).astype(jnp.float32))
-            else:
-                qw, wmax = quantize_weight(kernel)
-                acc = jax.lax.conv_general_dilated(
-                    quantize_act(x, sv.value), qw, strides, "SAME",
-                    dimension_numbers=_DN,
-                    preferred_element_type=jnp.int32)
-                rescale = (jnp.maximum(sv.value, 1e-6) / (127.0 * 127.0)
-                           * wmax)
-                y = (acc.astype(jnp.float32) * rescale + bias).astype(dt)
-                return nn.relu(y) if self.act else y
+            y = _int8_conv(self, x, kernel, bias, strides, self.act)
+            if y is not None:
+                return y
         y = jax.lax.conv_general_dilated(
             x.astype(dt), kernel.astype(dt), strides, "SAME",
             dimension_numbers=_DN) + bias.astype(dt)
@@ -153,21 +166,9 @@ class SepConvRelu(nn.Module):
             # Depthwise stays bf16 (VPU-bound; int8 measured SLOWER there);
             # the pointwise 1x1 — where the MACs are — runs on the MXU in
             # int8 with calibrated activation scale, as in ConvRelu.
-            sv = self.variable("calib", "act_scale",
-                               lambda: jnp.zeros((), jnp.float32))
-            if self.is_mutable_collection("calib"):
-                sv.value = jnp.maximum(
-                    sv.value, jnp.max(jnp.abs(y)).astype(jnp.float32))
-            else:
-                qw, wmax = quantize_weight(pwk)
-                acc = jax.lax.conv_general_dilated(
-                    quantize_act(y, sv.value), qw, (1, 1), "SAME",
-                    dimension_numbers=_DN,
-                    preferred_element_type=jnp.int32)
-                rescale = (jnp.maximum(sv.value, 1e-6) / (127.0 * 127.0)
-                           * wmax)
-                return nn.relu(
-                    (acc.astype(jnp.float32) * rescale + pwb).astype(dt))
+            out = _int8_conv(self, y, pwk, pwb, (1, 1), act=True)
+            if out is not None:
+                return out
         y = jax.lax.conv_general_dilated(
             y, pwk.astype(dt), (1, 1), "SAME", dimension_numbers=_DN)
         return nn.relu(y + pwb.astype(dt))

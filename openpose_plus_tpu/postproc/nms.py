@@ -198,12 +198,13 @@ def find_peaks(smoothed: jax.Array, threshold: float, max_peaks: int
     A pixel is a peak iff it equals the 3x3 max-pool (>= all 8 neighbors
     under -inf padding), is strictly above `threshold`, AND has the lowest
     flat index among equal-valued candidate neighbors (adjacent candidates
-    are necessarily exact ties; the lexicographic (value, -index) rule
-    keeps one pixel per plateau). Without the tie-break, exactly symmetric
-    inputs — symmetric synthetic scenes, constant regions — emit every
-    pixel of a 2x2 upsample plateau as a separate peak. Ordering is
-    descending score with ties broken by ascending flat index (lax.top_k
-    semantics), identical to oracle.find_peaks.
+    are necessarily exact ties). The tie-break dedups the exact 2x2
+    plateaus that symmetric inputs produce after upsampling (without it,
+    every plateau pixel became a separate peak); plateaus wider than the
+    3x3 window may still keep one representative per window — still
+    deterministic and oracle-matched. Ordering is descending score with
+    ties broken by ascending flat index (lax.top_k semantics), identical
+    to oracle.find_peaks.
     """
     h, w = smoothed.shape[0], smoothed.shape[1]
     parts = smoothed[:, :, : skeleton.N_PARTS]

@@ -125,12 +125,14 @@ def _sample_paf_lowres(paf_lo: jax.Array, sy: jax.Array, sx: jax.Array,
     x0, x1, wx0, wx1 = _lowres_axis_weights(sxf, w, factor)
     ar_h = jnp.arange(h)
     ar_w = jnp.arange(w)
-    # The 2-hot matrices are stored bf16: every resize weight is a dyadic
-    # rational k/(2*factor) (plus exact 0/1 at edges), representable in
-    # bf16's 8 mantissa bits for any factor <= 128, and the HIGHEST-
-    # precision dot upcasts bf16 operands to f32 losslessly — identical
-    # values at half the HBM traffic for the largest tensors here.
-    dt = jnp.bfloat16
+    # For power-of-two factors the 2-hot matrices are stored bf16: every
+    # resize weight is a dyadic rational k/(2*factor) (plus exact 0/1 at
+    # edges), representable in bf16's 8 mantissa bits for any factor <=
+    # 128, and the HIGHEST-precision dot upcasts bf16 operands to f32
+    # losslessly — identical values at half the HBM traffic for the
+    # largest tensors here. Other factors (non-dyadic weights like 1/6)
+    # keep f32 so the ~1-ulp agreement with resize+gather still holds.
+    dt = (jnp.bfloat16 if factor & (factor - 1) == 0 else jnp.float32)
     oy = (wy0[..., None] * (y0[..., None] == ar_h)
           + wy1[..., None] * (y1[..., None] == ar_h)).astype(dt)  # (L, n, h)
     ox = (wx0[..., None] * (x0[..., None] == ar_w)

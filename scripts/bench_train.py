@@ -1,0 +1,103 @@
+"""Training-step throughput on the real chip (images/sec).
+
+The training analogue of bench.py: times the FULL on-device train step —
+uint8 normalize, GT heatmap/PAF synthesis (make_targets_batch), forward,
+deep-supervision loss, backward, optimizer update — with the chained
+data-dependence methodology (see bench.py: per-call block_until_ready can
+return early on the remote-execution backend, so iterations are chained
+through the loss scalar and finished with one tiny D2H).
+
+    python scripts/bench_train.py [--model mobilenet_thin] [--batch 8]
+                                  [--hin 368] [--win 656] [--remat]
+
+Prints one JSON line per config: {"metric": "train_imgs_per_sec_...",
+"value": N, "unit": "imgs/s"}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="mobilenet_thin")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--hin", type=int, default=368)
+    ap.add_argument("--win", type=int, default=656)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize stage activations (jax.checkpoint)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from openpose_plus_tpu import train as T
+    from openpose_plus_tpu.config import default_config
+
+    cfg = default_config(args.model)
+    cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model, hin=args.hin, win=args.win,
+                                  remat_stages=args.remat),
+        train=dataclasses.replace(cfg.train, batch_size=args.batch))
+
+    state = T.create_train_state(cfg, jax.random.PRNGKey(0))
+    step = jax.jit(T.make_train_step_on_batch(cfg), donate_argnums=0)
+
+    rng = np.random.default_rng(0)
+    max_people = 8
+    batch = {
+        "images": jnp.asarray(rng.integers(
+            0, 255, (args.batch, args.hin, args.win, 3), dtype=np.uint8)),
+        "keypoints": jnp.asarray(np.concatenate([
+            rng.uniform(0, args.win, (args.batch, max_people, 18, 1)),
+            rng.uniform(0, args.hin, (args.batch, max_people, 18, 1)),
+            (rng.random((args.batch, max_people, 18, 1)) < 0.7),
+        ], axis=-1).astype(np.float32)),
+        "mask": jnp.ones(
+            (args.batch, args.hin // cfg.model.stride,
+             args.win // cfg.model.stride, 1), jnp.float32),
+    }
+
+    # compile + warm; chain steps through the loss scalar folded into the
+    # image batch so the device must execute them sequentially
+    state, metrics = step(state, batch)
+    _ = float(metrics["loss"])
+    best = float("inf")
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        carry = jnp.float32(0.0)
+        for _ in range(args.iters):
+            b = dict(batch)
+            b["mask"] = batch["mask"] + carry * 1e-12
+            state, metrics = step(state, b)
+            carry = metrics["loss"]
+        _ = float(carry)
+        best = min(best, (time.perf_counter() - t0) / args.iters)
+
+    name = (f"train_imgs_per_sec_{args.model}_{args.hin}x{args.win}"
+            f"_bs{args.batch}" + ("_remat" if args.remat else ""))
+    print(json.dumps({"metric": name,
+                      "value": round(args.batch / best, 2),
+                      "unit": "imgs/s",
+                      "ms_per_step": round(best * 1e3, 2)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

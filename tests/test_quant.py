@@ -85,6 +85,31 @@ def test_int8_engine_matches_bf16_on_scene():
     assert denom > 0 and float(cb @ cq) / denom > 0.98
 
 
+def test_partially_calibrated_tree_recalibrates():
+    """A calib tree with ANY zero scale must not count as calibrated (a
+    zero-scale layer would silently saturate); infer() re-calibrates."""
+    cfg = default_config("mobilenet_thin")
+    cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, hin=96, win=112, compute_dtype="int8"))
+    eng = Engine(cfg, seed=0)
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 255, (1, 96, 112, 3), dtype=np.uint8)
+    eng.calibrate(images)
+    # zero out one layer's scale and drop the cached flag
+    calib = jax.device_get(eng.params["calib"])
+    leaf_path = next(iter(jax.tree_util.tree_leaves_with_path(calib)))[0]
+    sub = calib
+    for p in leaf_path[:-1]:
+        sub = sub[p.key]
+    sub[leaf_path[-1].key] = jnp.zeros((), jnp.float32)
+    eng.params = {**eng.params, "calib": calib}
+    eng._calibrated = False
+    assert eng._needs_calibration()
+    out = eng.infer(images)
+    assert bool(np.isfinite(np.asarray(out.score)).all())
+    assert all(float(v) > 0 for v in jax.tree.leaves(eng.params["calib"]))
+
+
 def test_int8_implicit_calibration_on_first_infer():
     cfg = default_config("mobilenet_thin")
     cfg = cfg.replace(model=dataclasses.replace(

@@ -111,6 +111,27 @@ def test_npz_roundtrip(tmp_path):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y))
 
 
+def test_npz_legacy_convrelu_layout(tmp_path):
+    """Checkpoints from before the ConvRelu param flattening (conv params
+    under an nn.Conv child 'Conv_0') still load via the shim in load_npz."""
+    cfg = _tiny_config()
+    state = T.create_train_state(cfg, jax.random.PRNGKey(0))
+    flat = ckpt._flatten(jax.device_get(state.params))
+    legacy = {}
+    for k, v in flat.items():
+        parts = k.split("/")
+        if parts[-1] in ("kernel", "bias") and "ConvRelu" in parts[-2]:
+            k = "/".join(parts[:-1] + ["Conv_0", parts[-1]])
+        legacy[k] = v
+    assert legacy.keys() != flat.keys()
+    path = str(tmp_path / "legacy.npz")
+    np.savez(path, **legacy)
+    loaded = ckpt.load_npz(path, state.params)
+    for x, y in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(loaded)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+
 def _write_fake_dataset(tmp_path, n_images=4):
     import cv2
     img_dir = tmp_path / "imgs"
