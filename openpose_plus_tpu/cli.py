@@ -234,7 +234,8 @@ def cmd_eval(args) -> int:
     ds = CocoPoseDataset(args.annotations, args.images)
     res = evaluate_engine(eng, ds, batch_size=args.batch, limit=args.limit,
                           distributed=args.distributed,
-                          flip_tta=args.flip_tta)
+                          flip_tta=args.flip_tta,
+                          scales=tuple(args.scales) if args.scales else None)
     print(json.dumps(res.as_dict()))
     return 0
 
@@ -328,6 +329,9 @@ def main(argv: Optional[list[str]] = None) -> int:
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--distributed", action="store_true")
+    p.add_argument("--scales", type=float, nargs="+", default=None,
+                   help="multi-scale search, e.g. --scales 0.5 1.0 1.5 "
+                        "(maps averaged on the base grid; higher AP)")
     p.add_argument("--flip-tta", action="store_true",
                    help="average horizontally-flipped predictions")
 

@@ -105,6 +105,8 @@ class Engine:
         self._forward = jax.jit(functools.partial(_forward_impl,
                                                   model=self.model),
                                 **jit_kw)
+        self._jit_kw = jit_kw
+        self._multiscale_cache: dict = {}
 
     # ------------------------------------------------------------- API ---
 
@@ -122,6 +124,26 @@ class Engine:
             self.calibrate(images)  # implicit, on the first batch seen
         fn = self._infer_tta if flip_tta else self._infer
         return fn(self.params, images)
+
+    def infer_multiscale(self, images: np.ndarray | jax.Array,
+                         scales: tuple[float, ...] = (0.5, 1.0, 1.5),
+                         flip_tta: bool = False) -> HumanBatch:
+        """Scale-search TTA (the reference estimator's scale search): run
+        the CNN at several input scales, resize every map stack back to
+        the base output grid, average, decode ONCE — all inside one jit.
+        ~len(scales)x (2x more with flip_tta) the single-scale cost;
+        highest-AP serving mode."""
+        images = jnp.asarray(images)
+        if self._needs_calibration():
+            self.calibrate(images)
+        key = (tuple(scales), bool(flip_tta))
+        if key not in self._multiscale_cache:
+            self._multiscale_cache[key] = jax.jit(functools.partial(
+                _infer_multiscale_impl, model=self.model,
+                postproc_cfg=self.config.postproc, scales=key[0],
+                flip=key[1], stride=self.config.model.stride),
+                **self._jit_kw)
+        return self._multiscale_cache[key](self.params, images)
 
     def calibrate(self, images: np.ndarray | jax.Array) -> None:
         """Record int8 activation scales from representative images (the
@@ -174,6 +196,47 @@ def _forward_impl(params, images, *, model):
 def _infer_impl(params, images, *, model, postproc_cfg) -> HumanBatch:
     conf, paf = _forward_impl(params, images, model=model)
     return decode_maps(conf, paf, postproc_cfg)
+
+
+def _infer_multiscale_impl(params, images, *, model, postproc_cfg, scales,
+                           flip, stride) -> HumanBatch:
+    """Average final-stage maps over input scales (+ optional flip) on the
+    base output grid, then decode once. Scaled input dims snap to the
+    backbone stride so every scale traces a valid static shape."""
+    from openpose_plus_tpu.postproc.flip import mirror_maps
+
+    b, base_h, base_w = images.shape[0], images.shape[1], images.shape[2]
+    hout, wout = base_h // stride, base_w // stride
+    x0 = preprocess_images(images)
+
+    def maps_at(x):
+        out = model.apply(params, x)
+        return out["conf"][-1].astype(jnp.float32), \
+            out["paf"][-1].astype(jnp.float32)
+
+    conf_acc = None
+    paf_acc = None
+    n = 0
+    for s in scales:
+        h = max(stride, int(round(base_h * s / stride)) * stride)
+        w = max(stride, int(round(base_w * s / stride)) * stride)
+        xi = x0 if (h, w) == (base_h, base_w) else jax.image.resize(
+            x0, (b, h, w, 3), method="linear")
+        variants = [xi] + ([xi[:, :, ::-1]] if flip else [])
+        for i, xv in enumerate(variants):
+            conf, paf = maps_at(xv)
+            if i == 1:
+                conf, paf = mirror_maps(conf, paf)
+            if conf.shape[1] != hout or conf.shape[2] != wout:
+                conf = jax.image.resize(
+                    conf, (b, hout, wout, conf.shape[-1]), method="linear")
+                paf = jax.image.resize(
+                    paf, (b, hout, wout, paf.shape[-1]), method="linear")
+            conf_acc = conf if conf_acc is None else conf_acc + conf
+            paf_acc = paf if paf_acc is None else paf_acc + paf
+            n += 1
+    inv = 1.0 / n
+    return decode_maps(conf_acc * inv, paf_acc * inv, postproc_cfg)
 
 
 def _infer_tta_impl(params, images, *, model, postproc_cfg) -> HumanBatch:

@@ -196,12 +196,15 @@ def evaluate_detections(
 def evaluate_engine(engine, dataset, batch_size: int = 8,
                     limit: Optional[int] = None,
                     distributed: bool = False,
-                    flip_tta: bool = False) -> EvalResult:
+                    flip_tta: bool = False,
+                    scales: Optional[tuple] = None) -> EvalResult:
     """Run the engine over a CocoPoseDataset slice and compute AP.
 
     With distributed=True each process evaluates its
     process_local_slice and detections are gathered across hosts;
-    flip_tta averages horizontally-flipped predictions (higher AP).
+    flip_tta averages horizontally-flipped predictions (higher AP);
+    scales enables the reference estimator's multi-scale search
+    (e.g. (0.5, 1.0, 1.5) — maps averaged on the base grid).
     """
     import jax
 
@@ -225,7 +228,12 @@ def evaluate_engine(engine, dataset, batch_size: int = 8,
         while len(batch_imgs) < batch_size:   # pad the last batch
             batch_imgs.append(np.zeros_like(batch_imgs[0]))
             batch_meta.append(None)
-        humans = engine.infer(np.stack(batch_imgs), flip_tta=flip_tta)
+        stack = np.stack(batch_imgs)
+        if scales:
+            humans = engine.infer_multiscale(stack, scales=tuple(scales),
+                                             flip_tta=flip_tta)
+        else:
+            humans = engine.infer(stack, flip_tta=flip_tta)
         jax.block_until_ready(humans)
         for b in range(real):
             img_id, scale, pad = batch_meta[b]

@@ -63,3 +63,26 @@ def test_engine_fast_init_structure():
     for x, y in zip(jax.tree_util.tree_leaves(a.params),
                     jax.tree_util.tree_leaves(b.params)):
         assert x.shape == y.shape and x.dtype == y.dtype
+
+
+def test_engine_multiscale_single_scale_matches_infer(rng):
+    """scales=(1.0,) multi-scale == plain infer (same maps, one decode)."""
+    cfg = _tiny()
+    eng = Engine(cfg, seed=0)
+    images = rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8)
+    a = eng.infer(images)
+    b = eng.infer_multiscale(images, scales=(1.0,))
+    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+    np.testing.assert_allclose(np.asarray(a.coords), np.asarray(b.coords))
+
+
+def test_engine_multiscale_runs_and_averages(rng):
+    """3-scale (+flip) search produces finite, well-formed results; the
+    scaled passes snap input dims to the backbone stride."""
+    cfg = _tiny()
+    eng = Engine(cfg, seed=0)
+    images = rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8)
+    out = eng.infer_multiscale(images, scales=(0.5, 1.0, 1.5),
+                               flip_tta=True)
+    assert out.coords.shape[0] == 2
+    assert bool(np.isfinite(np.asarray(out.score)).all())
