@@ -42,6 +42,11 @@ class PoseSample:
     areas: np.ndarray
     # segmentation payloads of regions to EXCLUDE from the loss
     ignore_segms: list[Any]
+    # (Q, 4) x,y,w,h boxes of crowd/unlabeled person annotations — eval
+    # ignore regions (COCOeval gtIg: detections matched to these are
+    # dropped from the PR curve, not counted as false positives)
+    ignore_boxes: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 4), np.float32))
 
     def ignore_mask(self) -> np.ndarray:
         """uint8 (height, width): 1 where the loss applies, 0 on ignore
@@ -154,6 +159,7 @@ class CocoPoseDataset:
             anns = by_image[img_id]
             im = images[img_id]
             people, coco_kps, areas, ignores = [], [], [], []
+            ign_boxes: list[np.ndarray] = []
             for ann in anns:
                 kp = np.asarray(ann.get("keypoints", []),
                                 np.float32).reshape(-1, 3)
@@ -161,6 +167,8 @@ class CocoPoseDataset:
                 if ann.get("iscrowd", 0) or n_kp < min_keypoints:
                     if ann.get("segmentation"):
                         ignores.append(ann["segmentation"])
+                    if ann.get("bbox"):
+                        ign_boxes.append(np.asarray(ann["bbox"], np.float32))
                     continue
                 people.append(coco17_to_openpose18(kp))
                 coco_kps.append(kp)
@@ -178,6 +186,8 @@ class CocoPoseDataset:
                 keypoints_coco=np.stack(coco_kps),
                 areas=np.asarray(areas, np.float32),
                 ignore_segms=ignores,
+                ignore_boxes=(np.stack(ign_boxes) if ign_boxes
+                              else np.zeros((0, 4), np.float32)),
             ))
 
     def __len__(self) -> int:

@@ -43,7 +43,8 @@ class TrainPipeline:
 
     def __init__(self, dataset: CocoPoseDataset, config: Config,
                  seed: int = 0, num_workers: Optional[int] = None,
-                 max_people: int = 32, with_replacement: bool = False):
+                 max_people: int = 32, with_replacement: bool = False,
+                 shard_index: int = 0, shard_count: int = 1):
         self.ds = dataset
         self.cfg = config
         self.max_people = max_people
@@ -54,21 +55,35 @@ class TrainPipeline:
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
         self._started = False
+        self._error: Optional[BaseException] = None
+        self._bad_paths: set[str] = set()
+        # Multi-host: rank-strided shard of the sample indices (the
+        # reference's dataset.shard(cluster_size, rank)). Shards are
+        # disjoint by construction, so a global epoch sees every sample
+        # exactly once across hosts; each host shuffles only its shard.
+        self._shard = (shard_index, shard_count)
+        self._indices = np.arange(shard_index, len(dataset), shard_count)
+        if len(self._indices) == 0:
+            raise ValueError(
+                f"shard {shard_index}/{shard_count} of a {len(dataset)}-"
+                f"sample dataset is empty")
         # shared shuffled-epoch cursor (reference shuffle+repeat semantics:
         # every sample seen once per epoch, new permutation each epoch)
         self._epoch_lock = threading.Lock()
         self._epoch_rng = np.random.default_rng(seed)
-        self._perm = self._epoch_rng.permutation(len(dataset))
+        self._perm = self._indices[
+            self._epoch_rng.permutation(len(self._indices))]
         self._cursor = 0
 
     def _draw_indices(self, n: int, rng: np.random.Generator) -> np.ndarray:
         if self.with_replacement:
-            return rng.integers(0, len(self.ds), size=n)
+            return self._indices[rng.integers(0, len(self._indices), size=n)]
         out = np.empty(n, np.int64)
         with self._epoch_lock:
             for i in range(n):
                 if self._cursor >= len(self._perm):
-                    self._perm = self._epoch_rng.permutation(len(self.ds))
+                    self._perm = self._indices[
+                        self._epoch_rng.permutation(len(self._indices))]
                     self._cursor = 0
                 out[i] = self._perm[self._cursor]
                 self._cursor += 1
@@ -80,19 +95,54 @@ class TrainPipeline:
         rng = np.random.default_rng(self.seed * 1000 + wid)
         m = self.cfg.model
         b = self.cfg.train.batch_size
+        consecutive_skips = 0
         while not self._stop.is_set():
-            idx = self._draw_indices(b, rng)
             images, kps, masks = [], [], []
-            for i in idx:
-                s = self.ds[int(i)]
-                img = _load_image(s.image_path)
-                aug = A.augment_sample(img, s.keypoints, s.ignore_mask(),
-                                       self.cfg.data, m.hin, m.win, rng)
-                images.append(aug.image)
-                kps.append(pad_keypoints(aug.keypoints, self.max_people))
-                small = cv2.resize(aug.mask, (m.wout, m.hout),
-                                   interpolation=cv2.INTER_AREA)
-                masks.append((small > 0.5).astype(np.float32)[..., None])
+            while len(images) < b and not self._stop.is_set():
+                i = int(self._draw_indices(1, rng)[0])
+                s = self.ds[i]
+                try:
+                    img = _load_image(s.image_path)
+                    consecutive_skips = 0
+                except Exception as e:
+                    # one bad file must not kill the worker (and, once all
+                    # workers are dead, hang training on q.get() forever):
+                    # warn once per path and draw a different sample — but
+                    # if NOTHING is readable, fail loudly instead of
+                    # spinning forever
+                    if s.image_path not in self._bad_paths:
+                        self._bad_paths.add(s.image_path)
+                        import logging
+
+                        logging.getLogger(__name__).warning(
+                            "skipping unreadable sample %s: %s",
+                            s.image_path, e)
+                    consecutive_skips += 1
+                    if consecutive_skips > max(4 * len(self._indices), 64):
+                        self._error = RuntimeError(
+                            f"{consecutive_skips} consecutive unreadable "
+                            f"samples — is the image dir correct?")
+                        self._stop.set()
+                        return
+                    continue
+                try:
+                    aug = A.augment_sample(img, s.keypoints, s.ignore_mask(),
+                                           self.cfg.data, m.hin, m.win, rng)
+                    images.append(aug.image)
+                    kps.append(pad_keypoints(aug.keypoints, self.max_people))
+                    small = cv2.resize(aug.mask, (m.wout, m.hout),
+                                       interpolation=cv2.INTER_AREA)
+                    masks.append((small > 0.5).astype(np.float32)[..., None])
+                except Exception:
+                    # augmentation bugs are NOT data problems — surface
+                    # them to the consumer instead of dying silently
+                    import sys
+
+                    self._error = sys.exc_info()[1]
+                    self._stop.set()
+                    return
+            if self._stop.is_set():
+                return
             batch = {
                 "images": np.stack(images),
                 "keypoints": np.stack(kps),
@@ -120,4 +170,12 @@ class TrainPipeline:
     def __iter__(self) -> Iterator[dict]:
         self.start()
         while True:
-            yield self._q.get()
+            try:
+                yield self._q.get(timeout=5.0)
+            except queue.Empty:
+                if self._error is not None:
+                    raise RuntimeError(
+                        "pipeline worker failed") from self._error
+                if not any(t.is_alive() for t in self._threads):
+                    raise RuntimeError(
+                        "all pipeline workers exited; no batches coming")

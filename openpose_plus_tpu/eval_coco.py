@@ -98,69 +98,123 @@ AREA_MEDIUM = (32.0 ** 2, 96.0 ** 2)
 AREA_LARGE = (96.0 ** 2, float("inf"))
 
 
+def compute_oks_box(det: np.ndarray, box: np.ndarray) -> float:
+    """Bbox-fallback OKS against an unlabeled/crowd annotation (COCOeval
+    computeOks' k1==0 branch): per-keypoint distance to the box expanded
+    by one box-extent on each side, zero inside it."""
+    bx, by, bw, bh = [float(v) for v in box[:4]]
+    if bw <= 0 or bh <= 0:
+        return 0.0
+    z = np.float32(0.0)
+    dx = np.maximum(z, (bx - bw) - det[:, 0]) + \
+        np.maximum(z, det[:, 0] - (bx + 2 * bw))
+    dy = np.maximum(z, (by - bh) - det[:, 1]) + \
+        np.maximum(z, det[:, 1] - (by + 2 * bh))
+    k = 2.0 * skeleton.COCO_OKS_SIGMAS
+    s2 = max(bw * bh, 1.0)
+    e = (dx ** 2 + dy ** 2) / (2.0 * s2 * k * k)
+    return float(np.mean(np.exp(-e)))
+
+
+def _gt_entry(value):
+    """gt_by_image value: (kps, areas) or (kps, areas, ignore_boxes)."""
+    if len(value) == 2:
+        return value[0], value[1], np.zeros((0, 4), np.float32)
+    return value
+
+
 def evaluate_detections_full(detections, gt_by_image) -> EvalResult:
-    """All-areas AP plus the COCOeval medium/large area breakdowns."""
-    res = evaluate_detections(detections, gt_by_image)
+    """All-areas AP plus the COCOeval medium/large area breakdowns.
+
+    The O(dets x gts) OKS matrices are computed ONCE per image and shared
+    by the three area passes (only the target/ignore split differs)."""
+    cache = _build_match_cache(detections, gt_by_image)
+    res = evaluate_detections(detections, gt_by_image, _cache=cache)
     res.ap_medium = evaluate_detections(
-        detections, gt_by_image, AREA_MEDIUM).ap
-    res.ap_large = evaluate_detections(detections, gt_by_image, AREA_LARGE).ap
+        detections, gt_by_image, AREA_MEDIUM, _cache=cache).ap
+    res.ap_large = evaluate_detections(
+        detections, gt_by_image, AREA_LARGE, _cache=cache).ap
     return res
+
+
+def _build_match_cache(detections, gt_by_image) -> dict:
+    """Per image: score-sorted top-MAX_DETS detections, the dense OKS
+    matrix against every labeled GT, and the bbox-fallback OKS against
+    every crowd/unlabeled ignore region."""
+    by_img: dict[int, list[Detection]] = {}
+    for d in detections:
+        by_img.setdefault(d.image_id, []).append(d)
+    cache = {}
+    for img_id, value in gt_by_image.items():
+        gts, areas, ign_boxes = _gt_entry(value)
+        labeled = [(g, a) for g, a in zip(gts, areas) if (g[:, 2] > 0).any()]
+        dets = sorted(by_img.get(img_id, []),
+                      key=lambda d: -d.score)[:MAX_DETS]
+        oks = np.array([[compute_oks(d.keypoints, g, a) for g, a in labeled]
+                        for d in dets]) if dets and labeled else \
+            np.zeros((len(dets), len(labeled)))
+        oks_box = np.array([[compute_oks_box(d.keypoints, b)
+                             for b in ign_boxes]
+                            for d in dets]) if dets and len(ign_boxes) else \
+            np.zeros((len(dets), len(ign_boxes)))
+        cache[img_id] = (dets, labeled, oks, oks_box)
+    return cache
 
 
 def evaluate_detections(
     detections: Sequence[Detection],
-    gt_by_image: dict[int, tuple[np.ndarray, np.ndarray]],
+    gt_by_image: dict[int, tuple],
     area_range: tuple[float, float] = (0.0, float("inf")),
+    _cache: Optional[dict] = None,
 ) -> EvalResult:
-    """AP over {image_id: (gt_keypoints (G,17,3), areas (G,))}.
+    """AP over {image_id: (gt_keypoints (G,17,3), areas (G,)[, ignore
+    boxes (Q,4)])}.
 
     area_range restricts to GTs within [lo, hi) (COCOeval area ranges:
-    medium = [32^2, 96^2), large = [96^2, inf)); out-of-range GTs are
-    IGNORED — detections that best-match an ignored GT are dropped from
-    the PR curve rather than counted as false positives.
+    medium = [32^2, 96^2), large = [96^2, inf)). IGNORED GTs — labeled
+    GTs outside the range, plus crowd/unlabeled annotations' boxes
+    (COCOeval gtIg) — absorb detections rather than scoring them as
+    false positives. With zero in-range GTs, returns the COCOeval -1.0
+    sentinel (not-applicable), never a fake 0 AP.
     """
     # Per image: sort dets by score, greedy-match to best unmatched GT.
     lo, hi = area_range
     # (det score, per-thr TP bits, per-thr counted bits)
     matches: list[tuple[float, np.ndarray, np.ndarray]] = []
     n_gt = 0
-    by_img: dict[int, list[Detection]] = {}
-    for d in detections:
-        by_img.setdefault(d.image_id, []).append(d)
+    cache = _cache if _cache is not None else _build_match_cache(
+        detections, gt_by_image)
 
     n_thr = len(OKS_THRESHOLDS)
-    for img_id, (gts, areas) in gt_by_image.items():
-        labeled = [(g, a) for g, a in zip(gts, areas) if (g[:, 2] > 0).any()]
-        targets = [(g, a) for g, a in labeled if lo <= a < hi]
-        ignored = [(g, a) for g, a in labeled if not (lo <= a < hi)]
-        n_gt += len(targets)
-        dets = sorted(by_img.get(img_id, []), key=lambda d: -d.score)[:MAX_DETS]
+    for img_id in gt_by_image:
+        dets, labeled, oks_all, oks_box = cache[img_id]
+        in_range = np.array([lo <= a < hi for _, a in labeled], bool) \
+            if labeled else np.zeros((0,), bool)
+        n_gt += int(in_range.sum())
         if not dets:
             continue
         hits = np.zeros((len(dets), n_thr), bool)
         counted = np.ones((len(dets), n_thr), bool)
-        oks = np.array([[compute_oks(d.keypoints, g, a) for g, a in targets]
-                        for d in dets]) if targets else None
-        oks_ign = np.array([[compute_oks(d.keypoints, g, a)
-                             for g, a in ignored]
-                            for d in dets]) if ignored else None
         for ti, thr in enumerate(OKS_THRESHOLDS):
-            used = np.zeros(len(targets), bool)
+            used = np.zeros(len(labeled), bool)
             for i in range(len(dets)):
-                if oks is not None:
-                    free = ~used & (oks[i] >= thr)
-                    if free.any():
-                        j = int(np.argmax(np.where(free, oks[i], -1.0)))
-                        used[j] = True
-                        hits[i, ti] = True
-                        continue
-                if oks_ign is not None and (oks_ign[i] >= thr).any():
-                    counted[i, ti] = False  # matches an ignored GT: drop
+                free = ~used & in_range & (oks_all[i] >= thr)
+                if free.any():
+                    j = int(np.argmax(np.where(free, oks_all[i], -1.0)))
+                    used[j] = True
+                    hits[i, ti] = True
+                    continue
+                # out-of-range labeled GTs and crowd/unlabeled boxes both
+                # ignore-absorb the detection (dropped from the PR curve)
+                if ((~in_range & (oks_all[i] >= thr)).any()
+                        or (oks_box[i] >= thr).any()):
+                    counted[i, ti] = False
         for i, d in enumerate(dets):
             matches.append((d.score, hits[i], counted[i]))
 
     if n_gt == 0:
-        return EvalResult(0.0, 0.0, 0.0, 0.0, len(gt_by_image), len(detections))
+        return EvalResult(-1.0, -1.0, -1.0, -1.0, len(gt_by_image),
+                          len(detections))
 
     if not matches:
         return EvalResult(0.0, 0.0, 0.0, 0.0, len(gt_by_image), 0)
@@ -247,79 +301,105 @@ def evaluate_engine(engine, dataset, batch_size: int = 8,
         net_img, scale, pad = letterbox(img, m.hin, m.win)
         batch_imgs.append(net_img)
         batch_meta.append((s.image_id, scale, pad))
-        gt_by_image[s.image_id] = (s.keypoints_coco, s.areas)
+        gt_by_image[s.image_id] = (
+            s.keypoints_coco, s.areas,
+            getattr(s, "ignore_boxes", np.zeros((0, 4), np.float32)))
         if len(batch_imgs) == batch_size:
             flush()
     flush()
 
     if distributed:
-        from jax.experimental import multihost_utils
-
-        payload = _pack_detections(dets)
-        gathered = multihost_utils.process_allgather(payload)
-        dets = _unpack_detections(gathered)
-        # every process must also see every GT: gather the ids+gt arrays
-        # (small) the same way
-        gt_payload = _pack_gt(gt_by_image)
-        gt_by_image = _unpack_gt(multihost_utils.process_allgather(gt_payload))
+        # every process must see every detection AND every GT
+        dets = _unpack_detections(_allgather_padded(_pack_detections(dets)))
+        gt_by_image = _unpack_gt(_allgather_padded(_pack_gt(gt_by_image)))
     return evaluate_detections_full(dets, gt_by_image)
 
 
 # ---------------------------------------------------- multihost packing ---
 
+def _allgather_padded(arr: np.ndarray) -> np.ndarray:
+    """process_allgather for (N, W) float32 payloads whose N and W vary
+    per host. process_allgather requires IDENTICAL shapes on every host,
+    so the global (max N, max W) is agreed first via a fixed-shape gather
+    of the dims, payloads are padded with -1-id sentinel rows / zero
+    columns, and the result flattens to (sum-of-rows, max W)."""
+    import jax
+    from jax.experimental import multihost_utils
+
+    if jax.process_count() == 1:
+        return arr
+    dims = multihost_utils.process_allgather(
+        np.asarray(arr.shape, np.int64))            # (P, 2), fixed shape
+    m, w = int(dims[:, 0].max()), int(dims[:, 1].max())
+    padded = np.full((m, w), 0.0, np.float32)
+    padded[:, 0] = -1.0                              # sentinel image ids
+    padded[: arr.shape[0], : arr.shape[1]] = arr
+    gathered = multihost_utils.process_allgather(padded)  # (P, m, w)
+    return np.asarray(gathered).reshape(-1, w)
+
+
 def _pack_detections(dets: list[Detection]) -> np.ndarray:
     """Fixed-width float rows [image_id, score, 51x kp] for allgather."""
-    out = np.zeros((max(len(dets), 1), 53), np.float32)
+    out = np.zeros((len(dets), 53), np.float32)
     for i, d in enumerate(dets):
         out[i, 0] = d.image_id
         out[i, 1] = d.score
         out[i, 2:] = d.keypoints.reshape(-1)
-    if not dets:
-        out[0, 0] = -1.0
     return out
 
 
 def _unpack_detections(arr: np.ndarray) -> list[Detection]:
-    arr = np.asarray(arr).reshape(-1, 53)
+    arr = np.asarray(arr).reshape(-1, 53) if arr.size else \
+        np.zeros((0, 53), np.float32)
     out = []
     for row in arr:
         if row[0] < 0:
             continue
         out.append(Detection(image_id=int(row[0]), score=float(row[1]),
-                             keypoints=row[2:].reshape(17, 3)))
+                             keypoints=row[2:].reshape(17, 3).copy()))
     return out
 
 
-def _pack_gt(gt: dict[int, tuple[np.ndarray, np.ndarray]],
-             max_people: int = 32) -> np.ndarray:
+def _pack_gt(gt: dict[int, tuple]) -> np.ndarray:
+    """Variable-width rows [img_id, G, Q, G*(area+51), Q*4]; every host's
+    rows are padded to the widest by _allgather_padded, and the per-row
+    G/Q counts make the unpack exact — no people cap, no dropped images,
+    ignore boxes preserved."""
     rows = []
-    for img_id, (kps, areas) in gt.items():
-        row = np.zeros((1 + max_people * 52,), np.float32)
-        row[0] = img_id
-        for p in range(min(len(kps), max_people)):
-            base = 1 + p * 52
+    for img_id, value in gt.items():
+        kps, areas, ign = _gt_entry(value)
+        g, q = len(kps), len(ign)
+        row = np.zeros((3 + g * 52 + q * 4,), np.float32)
+        row[0], row[1], row[2] = img_id, g, q
+        for p in range(g):
+            base = 3 + p * 52
             row[base] = areas[p] if p < len(areas) else 0.0
-            row[base + 1: base + 52] = kps[p].reshape(-1)
+            row[base + 1: base + 52] = np.asarray(kps[p]).reshape(-1)
+        for b in range(q):
+            base = 3 + g * 52 + b * 4
+            row[base: base + 4] = np.asarray(ign[b]).reshape(-1)[:4]
         rows.append(row)
     if not rows:
-        rows.append(np.full((1 + max_people * 52,), -1.0, np.float32))
-    return np.stack(rows)
+        return np.zeros((0, 3), np.float32)
+    w = max(len(r) for r in rows)
+    out = np.zeros((len(rows), w), np.float32)
+    for i, r in enumerate(rows):
+        out[i, : len(r)] = r
+    return out
 
 
-def _unpack_gt(arr: np.ndarray, max_people: int = 32
-               ) -> dict[int, tuple[np.ndarray, np.ndarray]]:
-    arr = np.asarray(arr).reshape(-1, 1 + max_people * 52)
-    out: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-    for row in arr:
-        if row[0] < 0:
+def _unpack_gt(arr: np.ndarray) -> dict[int, tuple]:
+    out: dict[int, tuple] = {}
+    for row in np.asarray(arr):
+        if row.size < 3 or row[0] < 0:
             continue
-        kps, areas = [], []
-        for p in range(max_people):
-            base = 1 + p * 52
-            kp = row[base + 1: base + 52].reshape(17, 3)
-            if (kp[:, 2] > 0).any():
-                kps.append(kp)
-                areas.append(row[base])
-        if kps:
-            out[int(row[0])] = (np.stack(kps), np.asarray(areas, np.float32))
+        g, q = int(row[1]), int(row[2])
+        kps = row[3: 3 + g * 52].reshape(g, 52)
+        ign = row[3 + g * 52: 3 + g * 52 + q * 4].reshape(q, 4).copy() \
+            if q else np.zeros((0, 4), np.float32)
+        out[int(row[0])] = (
+            kps[:, 1:].reshape(g, 17, 3).copy(),
+            kps[:, 0].copy(),
+            ign,
+        )
     return out

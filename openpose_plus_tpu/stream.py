@@ -99,11 +99,15 @@ class StreamEstimator:
             while True:
                 ok, frame = cap.read()
                 if not ok:
-                    cap.release()
                     return
                 yield cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
 
-        yield from self.run_frames(frames())
+        try:
+            yield from self.run_frames(frames())
+        finally:
+            # release even when the consumer stops early or the engine
+            # raises mid-stream (generator close runs this finally)
+            cap.release()
 
     # ------------------------------------------------------------------ --
 

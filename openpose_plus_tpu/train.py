@@ -203,8 +203,13 @@ def train_loop(config: Config, n_steps: Optional[int] = None,
 
     dataset = CocoPoseDataset(config.data.train_annotations,
                               config.data.train_images)
+    # rank-strided dataset shard per host (the reference's
+    # dataset.shard(cluster_size, rank)): disjoint shards, every sample
+    # seen once per global epoch
     pipeline = TrainPipeline(dataset, config,
-                             seed=config.train.seed + jax.process_index())
+                             seed=config.train.seed + jax.process_index(),
+                             shard_index=jax.process_index(),
+                             shard_count=jax.process_count())
 
     csv_writer = _metrics_csv_writer(config)
     it = iter(pipeline)

@@ -83,7 +83,32 @@ def child(rank: int, port: int) -> None:
     state, metrics = step(state, batch)
     loss = float(metrics["loss"])
     assert np.isfinite(loss)
-    print(f"RANK{rank} OK loss={loss:.6f}", flush=True)
+
+    # Distributed-eval merge: detection/GT payload SHAPES vary per rank
+    # (different counts and row widths); _allgather_padded must agree on
+    # the global max dims first — process_allgather itself requires
+    # identical shapes on every host.
+    from openpose_plus_tpu import eval_coco as E
+
+    n_local = 3 + rank * 2
+    rows = np.zeros((n_local, 53), np.float32)
+    rows[:, 0] = np.arange(n_local) + 100 * rank
+    rows[:, 1] = 0.5
+    dets = E._unpack_detections(E._allgather_padded(rows))
+    want = sum(3 + r * 2 for r in range(N_PROC))
+    assert len(dets) == want, (len(dets), want)
+
+    g = 1 + rank  # different people counts -> different row widths
+    gt_local = {1000 + rank: (np.ones((g, 17, 3), np.float32),
+                              np.ones((g,), np.float32),
+                              np.ones((rank, 4), np.float32))}
+    gt_all = E._unpack_gt(E._allgather_padded(E._pack_gt(gt_local)))
+    assert set(gt_all) == {1000 + r for r in range(N_PROC)}, gt_all.keys()
+    for r in range(N_PROC):
+        kps, areas, ign = gt_all[1000 + r]
+        assert kps.shape == (1 + r, 17, 3) and ign.shape == (r, 4)
+
+    print(f"RANK{rank} OK loss={loss:.6f} evalgather=ok", flush=True)
 
 
 def main() -> int:
@@ -121,7 +146,7 @@ def main() -> int:
         else:
             for line in text.splitlines():
                 if line.startswith(f"RANK{r} OK"):
-                    losses.append(float(line.split("loss=")[1]))
+                    losses.append(float(line.split("loss=")[1].split()[0]))
     if ok and len(set(f"{l:.6f}" for l in losses)) == 1:
         print(f"MULTIPROCESS OK: {N_PROC} procs, loss={losses[0]:.6f}")
         return 0

@@ -115,3 +115,69 @@ def test_area_range_aps(rng):
     partial = E.evaluate_detections_full(dets[1:], gt)
     assert partial.ap_medium == pytest.approx(0.0, abs=1e-6)
     assert partial.ap_large == pytest.approx(1.0, abs=1e-6)
+
+
+def test_ignore_box_absorbs_detection(rng):
+    """A detection inside a crowd/unlabeled annotation's box is DROPPED
+    from the PR curve (COCOeval gtIg), not scored as a false positive."""
+    gt, dets = _make_scene(rng, n_images=2, people_per=2)
+    base_ap = E.evaluate_detections(dets, gt).ap
+    # an extra detection far from all GTs, inside an ignore box
+    junk = _gt_person(rng, 1000.0, 1000.0)
+    junk[:, 2] = 0.9
+    dets2 = dets + [E.Detection(image_id=0, keypoints=junk, score=0.99)]
+    gt_ign = {img: (kps, areas,
+                    np.asarray([[940.0, 940.0, 120.0, 120.0]], np.float32)
+                    if img == 0 else np.zeros((0, 4), np.float32))
+              for img, (kps, areas) in gt.items()}
+    with_ignore = E.evaluate_detections(dets2, gt_ign).ap
+    without = E.evaluate_detections(dets2, gt).ap
+    assert with_ignore == pytest.approx(base_ap, abs=1e-6)
+    assert without < base_ap  # sanity: it IS an FP without the ignore box
+
+
+def test_empty_area_slice_returns_sentinel(rng):
+    """Zero in-range GTs -> -1.0 (COCOeval not-applicable), never 0.0."""
+    gt, dets = _make_scene(rng, n_images=1, people_per=1)  # area 10000
+    r = E.evaluate_detections(dets, gt, area_range=(1.0, 2.0))
+    assert r.ap == -1.0 and r.ar == -1.0
+
+
+def test_full_matches_single_pass(rng):
+    """evaluate_detections_full's cached-OKS passes == fresh computation."""
+    gt, dets = _make_scene(rng)
+    full = E.evaluate_detections_full(dets, gt)
+    fresh = E.evaluate_detections(dets, gt)
+    assert full.ap == pytest.approx(fresh.ap)
+    assert full.ap_medium == pytest.approx(
+        E.evaluate_detections(dets, gt, E.AREA_MEDIUM).ap)
+    assert full.ap_large == pytest.approx(
+        E.evaluate_detections(dets, gt, E.AREA_LARGE).ap)
+
+
+def test_pack_unpack_gt_roundtrip(rng):
+    """Variable-G/Q packing preserves every person, area and ignore box
+    (no 32-person cap, no dropped images)."""
+    gt = {}
+    for img, g in [(7, 1), (9, 40), (11, 3)]:
+        kps = np.stack([_gt_person(rng, 50.0 * p, 60.0) for p in range(g)])
+        areas = rng.uniform(100, 5000, g).astype(np.float32)
+        boxes = rng.uniform(0, 300, (img % 3, 4)).astype(np.float32)
+        gt[img] = (kps, areas, boxes)
+    back = E._unpack_gt(E._pack_gt(gt))
+    assert set(back) == set(gt)
+    for img in gt:
+        np.testing.assert_allclose(back[img][0], gt[img][0])
+        np.testing.assert_allclose(back[img][1], gt[img][1])
+        np.testing.assert_allclose(back[img][2], gt[img][2])
+
+
+def test_pack_unpack_detections_roundtrip(rng):
+    dets = [E.Detection(image_id=i, keypoints=_gt_person(rng, 10, 20),
+                        score=0.5 + 0.1 * i) for i in range(5)]
+    back = E._unpack_detections(E._pack_detections(dets))
+    assert len(back) == 5
+    for a, b in zip(dets, back):
+        assert a.image_id == b.image_id and a.score == pytest.approx(b.score)
+        np.testing.assert_allclose(a.keypoints, b.keypoints)
+    assert E._unpack_detections(E._pack_detections([])) == []

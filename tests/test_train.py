@@ -181,3 +181,58 @@ def test_train_loop_end_to_end(tmp_path):
     state2 = T.train_loop(cfg, n_steps=3, log=logs.append)
     assert int(state2.step) == 3
     assert any("resumed from step 3" in l for l in logs)
+
+
+def test_pipeline_skips_corrupt_images(tmp_path):
+    """A corrupt/missing image file must not kill the workers (which would
+    hang training forever on q.get); it is skipped with a warning."""
+    from openpose_plus_tpu.data.coco import CocoPoseDataset
+    from openpose_plus_tpu.data.pipeline import TrainPipeline
+
+    ann, imgs = _write_fake_dataset(tmp_path, n_images=6)
+    # corrupt two of the files
+    open(os.path.join(imgs, "im1.jpg"), "wb").write(b"not a jpeg")
+    os.remove(os.path.join(imgs, "im3.jpg"))
+    ds = CocoPoseDataset(ann, imgs)
+    cfg = _tiny_config(batch=4)
+    pipe = TrainPipeline(ds, cfg, seed=0, num_workers=2)
+    it = iter(pipe)
+    for _ in range(3):
+        batch = next(it)
+        assert batch["images"].shape[0] == 4
+    pipe.stop()
+
+
+def test_pipeline_raises_when_workers_die(tmp_path):
+    """If every sample is unreadable the iterator raises instead of
+    hanging forever."""
+    from openpose_plus_tpu.data.coco import CocoPoseDataset
+    from openpose_plus_tpu.data.pipeline import TrainPipeline
+    import pytest
+
+    ann, imgs = _write_fake_dataset(tmp_path, n_images=2)
+    for i in range(2):
+        os.remove(os.path.join(imgs, f"im{i}.jpg"))
+    ds = CocoPoseDataset(ann, imgs)
+    cfg = _tiny_config(batch=2)
+    pipe = TrainPipeline(ds, cfg, seed=0, num_workers=1)
+    # the consecutive-skip bound trips, the worker records the error and
+    # dies, and the iterator raises instead of blocking forever
+    with pytest.raises(RuntimeError):
+        next(iter(pipe))
+
+
+def test_pipeline_shards_are_disjoint(tmp_path):
+    """Rank-strided sharding: two hosts' pipelines draw from disjoint
+    sample sets covering the dataset (reference dataset.shard)."""
+    from openpose_plus_tpu.data.coco import CocoPoseDataset
+    from openpose_plus_tpu.data.pipeline import TrainPipeline
+
+    ann, imgs = _write_fake_dataset(tmp_path, n_images=6)
+    ds = CocoPoseDataset(ann, imgs)
+    cfg = _tiny_config(batch=2)
+    a = TrainPipeline(ds, cfg, seed=0, shard_index=0, shard_count=2)
+    b = TrainPipeline(ds, cfg, seed=1, shard_index=1, shard_count=2)
+    sa, sb = set(a._indices.tolist()), set(b._indices.tolist())
+    assert sa.isdisjoint(sb)
+    assert sa | sb == set(range(6))
