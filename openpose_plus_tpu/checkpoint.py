@@ -17,14 +17,28 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
+# One manager per directory for the process lifetime: rebuilding it per
+# save re-pays setup + directory scans on every checkpoint.
+_managers: dict[tuple[str, int], ocp.CheckpointManager] = {}
+
+
+def _manager(path: str, keep: int = 3) -> ocp.CheckpointManager:
+    key = (path, keep)
+    if key not in _managers:
+        _managers[key] = ocp.CheckpointManager(
+            path, options=ocp.CheckpointManagerOptions(max_to_keep=keep))
+    return _managers[key]
+
+
 def save(path: str, state: Any, step: int, keep: int = 3) -> None:
-    """Save a TrainState under path/<step> (async-safe, atomic)."""
-    path = os.path.abspath(path)
-    with ocp.CheckpointManager(
-            path, options=ocp.CheckpointManagerOptions(max_to_keep=keep),
-    ) as mgr:
-        mgr.save(step, args=ocp.args.StandardSave(state))
-        mgr.wait_until_finished()
+    """Save a TrainState under path/<step> (atomic: orbax commits via
+    rename, so an interrupted save never leaves a readable partial).
+    Blocks until the write finishes — checkpoints here are small (CNN
+    weights) and a completed-on-return save keeps resume semantics
+    trivially correct."""
+    mgr = _manager(os.path.abspath(path), keep)
+    mgr.save(step, args=ocp.args.StandardSave(state))
+    mgr.wait_until_finished()
 
 
 def latest_step(path: str) -> Optional[int]:
@@ -57,14 +71,19 @@ def _flatten(tree: Any, prefix: str = "") -> dict[str, np.ndarray]:
     return out
 
 
-def save_npz(path: str, params: Any) -> None:
-    """Flat 'scope/name' -> array npz (tl.files.save_npz_dict analogue)."""
+def save_npz(path: str, params: Any) -> str:
+    """Flat 'scope/name' -> array npz (tl.files.save_npz_dict analogue).
+    np.savez appends '.npz' to bare paths; the actual path is returned
+    and load_npz accepts either spelling."""
     np.savez(path, **_flatten(jax.device_get(params)))
+    return path if path.endswith(".npz") else path + ".npz"
 
 
 def load_npz(path: str, template: Any) -> Any:
     """Load a flat npz back into the template pytree structure; shapes must
     match exactly (weight-import shim)."""
+    if not os.path.exists(path) and os.path.exists(path + ".npz"):
+        path = path + ".npz"   # np.savez appended the extension
     flat = dict(np.load(path))
 
     def rebuild(tree: Any, prefix: str = "") -> Any:

@@ -53,6 +53,8 @@ def save_engine(engine: Engine, path: str, batch_size: int = 1) -> None:
     with open(os.path.join(path, _ARTIFACT), "wb") as f:
         f.write(exported.serialize())
     with open(os.path.join(path, _MANIFEST), "w") as f:
+        import dataclasses as _dc
+
         json.dump({
             "model": m.name,
             "batch_size": batch_size,
@@ -60,6 +62,11 @@ def save_engine(engine: Engine, path: str, batch_size: int = 1) -> None:
             "win": m.win,
             "format": "jax.export/StableHLO",
             "platforms": list(exported.platforms),
+            # full config so ExportedEngine.config reports what the
+            # artifact was actually built with (stride, dtype, postproc
+            # fidelity settings), not defaults
+            "model_config": _dc.asdict(m),
+            "postproc_config": _dc.asdict(engine.config.postproc),
         }, f, indent=2)
 
 
@@ -87,8 +94,13 @@ class ExportedEngine:
         from openpose_plus_tpu.config import default_config
 
         cfg = default_config(self.manifest["model"])
-        return cfg.replace(model=dataclasses.replace(
-            cfg.model, hin=self.manifest["hin"], win=self.manifest["win"]))
+        mc = dataclasses.replace(cfg.model, hin=self.manifest["hin"],
+                                 win=self.manifest["win"])
+        if "model_config" in self.manifest:  # full fidelity (newer artifacts)
+            mc = dataclasses.replace(mc, **self.manifest["model_config"])
+            cfg = cfg.replace(postproc=dataclasses.replace(
+                cfg.postproc, **self.manifest["postproc_config"]))
+        return cfg.replace(model=mc)
 
     @property
     def batch_size(self) -> int:

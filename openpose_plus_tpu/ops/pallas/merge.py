@@ -103,7 +103,9 @@ def _merge_kernel(n_valid_ref, ia_ref, ib_ref, a_gid_ref, b_gid_ref,
         # ---- attach: parts[j1, ib] = b_gid ------------------------------
         tgt_att = is_j1 & col_is_b
         parts_att = jnp.where(tgt_att, b_gid, parts)
-        score_att = jnp.where(rvec1, score + b_ps + cscore, score)
+        # scalar sub-sum first: matches group.assemble's
+        # score.at[j1].add(b_pscore + cscore) association bit-for-bit
+        score_att = jnp.where(rvec1, score + (b_ps + cscore), score)
         count_att = jnp.where(rvec1, count + 1, count)
 
         # ---- merge j1 <- j2, clear j2 -----------------------------------
@@ -112,7 +114,7 @@ def _merge_kernel(n_valid_ref, ia_ref, ib_ref, a_gid_ref, b_gid_ref,
         parts_mrg = jnp.where(is_j2, jnp.int32(-1), parts_mrg)
         s2 = jnp.sum(jnp.where(rvec2, score, 0.0))
         c2 = jnp.sum(jnp.where(rvec2, count, 0))
-        score_mrg = jnp.where(rvec1, score + s2 + cscore, score)
+        score_mrg = jnp.where(rvec1, score + (s2 + cscore), score)
         score_mrg = jnp.where(rvec2, 0.0, score_mrg)
         count_mrg = jnp.where(rvec1, count + c2, count)
         count_mrg = jnp.where(rvec2, 0, count_mrg)

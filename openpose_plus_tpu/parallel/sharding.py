@@ -78,6 +78,10 @@ def shard_batch(batch: Any, mesh: Mesh, spatial_leaves: tuple[str, ...] = ("imag
     for k, v in batch.items():
         if k in spatial_leaves and v.ndim == 4:
             out[k] = jax.device_put(v, batch_sharding(mesh))
+        elif getattr(v, "ndim", 0) == 0:
+            # rank-0 leaves (step counters, scalars) replicate — a
+            # leading-dim PartitionSpec would be invalid for them
+            out[k] = jax.device_put(v, replicated(mesh))
         else:
             out[k] = jax.device_put(v, map_sharding(mesh))
     return out
@@ -89,4 +93,5 @@ def process_local_slice(global_count: int) -> tuple[int, int]:
     n = jax.process_count()
     r = jax.process_index()
     per = (global_count + n - 1) // n
-    return r * per, min(global_count, (r + 1) * per)
+    lo = min(r * per, global_count)   # clamp: trailing ranks may be empty
+    return lo, min(global_count, lo + per)

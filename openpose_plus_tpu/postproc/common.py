@@ -17,11 +17,23 @@ def tpu_backend() -> bool:
     XLA one that is fastest on CPU (tests run there) and a TPU-shaped one
     (MXU one-hot sampling, Pallas merge kernel). Equality of the two paths
     is enforced by tests; this switch only picks the faster lowering.
+
+    The decision is made from the PROCESS-default backend at trace time
+    (there is no public "backend being lowered for" query inside a
+    trace), so tracing for a non-default device on a TPU host would pick
+    the TPU lowering; set POSE_POSTPROC_LOWERING=xla|tpu to override.
     """
+    import os
+
     import jax
 
+    force = os.environ.get("POSE_POSTPROC_LOWERING", "").lower()
+    if force in ("xla", "cpu"):
+        return False
+    if force in ("tpu", "pallas"):
+        return True
     try:
-        return jax.devices()[0].platform in ("tpu", "axon")
+        return jax.default_backend() in ("tpu", "axon")
     except Exception:
         return False
 

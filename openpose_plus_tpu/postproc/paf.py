@@ -232,6 +232,8 @@ def greedy_assign(scores: jax.Array, max_peaks: int) -> Connections:
     descending-score order and skipping used endpoints.
     """
     n_limbs, k, _ = scores.shape
+    if k != max_peaks:
+        raise ValueError(f"scores K={k} != max_peaks={max_peaks}")
 
     def per_limb(limb_scores):
         def body(t, carry):

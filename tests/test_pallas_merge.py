@@ -47,8 +47,9 @@ def test_pallas_merge_matches_xla(seed):
 
     np.testing.assert_array_equal(np.asarray(out.parts), np.asarray(ref.parts))
     np.testing.assert_array_equal(np.asarray(out.count), np.asarray(ref.count))
-    np.testing.assert_allclose(np.asarray(out.score), np.asarray(ref.score),
-                               atol=1e-5)
+    # bit-exact: the kernel groups every scalar sub-sum exactly like
+    # group.assemble (e.g. score + (b_ps + cscore)) — verified on hardware
+    np.testing.assert_array_equal(np.asarray(out.score), np.asarray(ref.score))
 
 
 def test_pallas_merge_vmaps(rng):
