@@ -156,12 +156,16 @@ def cmd_stream(args) -> int:
     from openpose_plus_tpu import native
 
     eng = _build_engine(args)
-    paths = _expand(args.images)
-    if not paths:
-        print("no input images", file=sys.stderr)
-        return 2
     est = StreamEstimator(eng, batch=args.batch, workers=args.workers)
-    it = est.run_files(paths, loop=args.loop)
+    if args.video:
+        it = est.run_video(args.video)
+    else:
+        paths = _expand(args.images or [])
+        if not paths:
+            print("no input images (use --images or --video)",
+                  file=sys.stderr)
+            return 2
+        it = est.run_files(paths, loop=args.loop)
     n_batches = args.repeat if args.loop else None
     frames = 0
     t0: Optional[float] = None
@@ -307,7 +311,9 @@ def main(argv: Optional[list[str]] = None) -> int:
 
     p = sub.add_parser("stream", help="pipelined stream throughput")
     _engine_flags(p)
-    p.add_argument("--images", nargs="+", required=True)
+    p.add_argument("--images", nargs="+", default=None)
+    p.add_argument("--video", default=None,
+                   help="stream a video file instead of image files")
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--loop", action="store_true")

@@ -96,3 +96,27 @@ def test_cli_stream_smoke(images):
         "--workers", "2", "--loop", "--repeat", "3",
     ])
     assert rc == 0
+
+
+def test_cli_stream_video(tmp_path):
+    """stream --video: the reference stream-detector's video-file source."""
+    rng = np.random.default_rng(0)
+    path = str(tmp_path / "clip.avi")
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"),
+                             5.0, (120, 90))
+    if not writer.isOpened():
+        pytest.skip("no MJPG encoder in this cv2 build")
+    for _ in range(5):
+        writer.write(rng.integers(0, 255, (90, 120, 3), dtype=np.uint8))
+    writer.release()
+    rc = cli.main([
+        "stream", "--model", "vggtiny", "--input-height", "64",
+        "--input-width", "64", "--video", path, "--batch", "2",
+    ])
+    assert rc == 0
+
+
+def test_cli_stream_no_input():
+    rc = cli.main(["stream", "--model", "vggtiny", "--input-height", "64",
+                   "--input-width", "64"])
+    assert rc == 2
