@@ -101,8 +101,16 @@ def main() -> None:
         cfg = cfg.replace(model=dataclasses.replace(
             cfg.model, hin=hin, win=win, compute_dtype=dtype))
         eng = Engine(cfg, fast_init=True)
+        if model == "mobilenet_thin":
+            # Engine input layout of record for this model: space-to-depth
+            # uint8 (B, hin/2, win/2, 12) — the same bytes block-permuted,
+            # emitted for free by the host loader during letterbox (the
+            # stem conv then skips an on-device relayout; StemConvRelu).
+            shape = (batch, hin // 2, win // 2, 12)
+        else:
+            shape = (batch, hin, win, 3)
         images = jax.device_put(jnp.asarray(rng.integers(
-            0, 255, (batch, hin, win, 3), dtype=np.uint8)))
+            0, 255, shape, dtype=np.uint8)))
         eng.calibrate(images)  # no-op for float modes
         dt = _device_loop_seconds(eng, images)
         results[name] = round(batch / dt, 2)

@@ -28,7 +28,12 @@ from openpose_plus_tpu.postproc import HumanBatch, decode_maps
 
 def preprocess_images(images: jax.Array) -> jax.Array:
     """uint8 (B, H, W, 3) RGB -> float32 in [-0.5, 0.5] (reference
-    normalization: /255 - 0.5; src/input.cpp equivalent, but on device)."""
+    normalization: /255 - 0.5; src/input.cpp equivalent, but on device).
+
+    Also accepts the space-to-depth input layout (B, H/2, W/2, 12) — the
+    same bytes block-permuted (models/common.py space_to_depth); the host
+    loader can emit it during letterbox for free, and the stem conv then
+    skips the on-device relayout (see StemConvRelu)."""
     return images.astype(jnp.float32) / 255.0 - 0.5
 
 
@@ -178,11 +183,14 @@ class Engine:
             self.calibrate(images)
         return self._forward(self.params, images)
 
-    def compile(self, batch_size: int) -> None:
+    def compile(self, batch_size: int, s2d_input: bool = False) -> None:
         """AOT-compile for a fixed batch size (the reference's TensorRT
         "engine build" step; subsequent infer() calls at this shape hit the
-        compile cache)."""
-        shape = (batch_size, self.config.model.hin, self.config.model.win, 3)
+        compile cache). s2d_input compiles for the space-to-depth layout
+        (B, hin/2, win/2, 12) instead of (B, hin, win, 3)."""
+        m = self.config.model
+        shape = ((batch_size, m.hin // 2, m.win // 2, 12) if s2d_input
+                 else (batch_size, m.hin, m.win, 3))
         self._infer.lower(self.params,
                           jax.ShapeDtypeStruct(shape, jnp.uint8)).compile()
 
@@ -205,6 +213,11 @@ def _infer_multiscale_impl(params, images, *, model, postproc_cfg, scales,
     backbone stride so every scale traces a valid static shape."""
     from openpose_plus_tpu.postproc.flip import mirror_maps
 
+    if images.shape[-1] == 12:
+        # s2d layout: scale search resizes the plain image — convert once
+        from openpose_plus_tpu.models.common import depth_to_space
+
+        images = depth_to_space(images, 3)
     b, base_h, base_w = images.shape[0], images.shape[1], images.shape[2]
     hout, wout = base_h // stride, base_w // stride
     x0 = preprocess_images(images)
@@ -245,7 +258,13 @@ def _infer_tta_impl(params, images, *, model, postproc_cfg) -> HumanBatch:
     from openpose_plus_tpu.postproc.flip import mirror_maps
 
     conf, paf = _forward_impl(params, images, model=model)
-    conf_f, paf_f = _forward_impl(params, images[:, :, ::-1], model=model)
+    if images.shape[-1] == 12:  # s2d layout: flip = block-reverse + wx swap
+        from openpose_plus_tpu.models.common import s2d_flip_w
+
+        flipped = s2d_flip_w(images, 3)
+    else:
+        flipped = images[:, :, ::-1]
+    conf_f, paf_f = _forward_impl(params, flipped, model=model)
     conf_m, paf_m = mirror_maps(conf_f, paf_f)
     return decode_maps((conf + conf_m) * 0.5, (paf + paf_m) * 0.5,
                        postproc_cfg)

@@ -118,6 +118,85 @@ class ConvRelu(nn.Module):
         return nn.relu(y) if self.act else y
 
 
+def space_to_depth(x: jax.Array) -> jax.Array:
+    """(B, H, W, C) -> (B, H/2, W/2, 4C); channel = (wy*2+wx)*C + c.
+
+    Pure data movement (reshape+transpose) — the MLPerf ResNet stem trick:
+    a 3x3 stride-2 conv on C channels re-expressed on the s2d grid uses a
+    2x2 stride-1 kernel over 4C channels, turning a 3/128-lane conv into an
+    MXU-shaped one (profiled 1.15 ms -> 0.36 ms at the MobileNet-thin stem
+    when the input arrives pre-transformed; scripts/profile_conv1*.py).
+    """
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+
+
+def depth_to_space(x: jax.Array, c: int) -> jax.Array:
+    """Inverse of space_to_depth: (B, H, W, 4C) -> (B, 2H, 2W, C)."""
+    b, h, w, _ = x.shape
+    x = x.reshape(b, h, w, 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, 2 * h, 2 * w, c)
+
+
+def s2d_flip_w(x: jax.Array, c: int) -> jax.Array:
+    """Horizontal flip of an s2d-layout image, without leaving the layout.
+
+    For even W, flipping columns is: reverse the block axis, then swap the
+    wx=0/wx=1 channel groups (exact; see engine flip-TTA)."""
+    b, h, w, c4 = x.shape
+    x = x[:, :, ::-1].reshape(b, h, w, 2, 2, c)
+    return x[:, :, :, :, ::-1].reshape(b, h, w, c4)
+
+
+class StemConvRelu(nn.Module):
+    """3x3 stride-2 stem conv + ReLU, lowered via space-to-depth.
+
+    Parameter-compatible with ConvRelu (same "kernel" (3,3,cin,cout) and
+    "bias" names/shapes — one checkpoint serves both lowerings); the 2x2
+    s2d-grid kernel is rearranged from those params at trace time. Accepts
+    either a plain (B,H,W,cin) input (s2d applied on device) or a
+    pre-transformed (B,H/2,W/2,4*cin) input — the fast path: the host
+    loader emits s2d bytes during letterbox, and conv1 stops being the
+    most roofline-starved layer in the net (3.6% of HBM peak -> ~12%).
+
+    Numerics: the same 9 tap products per output, contracted 2x2x4cin on
+    the MXU instead of im2col 3x3xcin — bf16-accumulation-order level
+    differences only (~1e-3; scripts/profile_conv1_u8.py asserts it).
+    SAME padding parity: k3 s2 on even dims pads (0,1); on the s2d grid
+    that is exactly k2 s1 with padding ((0,1),(0,1)).
+    """
+
+    features: int
+    in_channels: int = 3
+    compute_dtype: str = "bfloat16"
+
+    @nn.compact
+    def __call__(self, x):
+        cin = self.in_channels
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, cin, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        dt = _dtype(self.compute_dtype)
+        wq = jnp.zeros((2, 2, 4 * cin, self.features), kernel.dtype)
+        for ky in range(3):
+            for kx in range(3):
+                p, wy = divmod(ky, 2)
+                q, wx = divmod(kx, 2)
+                g = (wy * 2 + wx) * cin
+                wq = wq.at[p, q, g:g + cin].set(kernel[ky, kx])
+        if x.shape[-1] == cin:
+            x = space_to_depth(x)
+        elif x.shape[-1] != 4 * cin:
+            raise ValueError(
+                f"stem expects {cin} or {4 * cin} channels, got {x.shape}")
+        y = jax.lax.conv_general_dilated(
+            x.astype(dt), wq.astype(dt), (1, 1), [(0, 1), (0, 1)],
+            dimension_numbers=_DN) + bias.astype(dt)
+        return nn.relu(y)
+
+
 class SepConvRelu(nn.Module):
     """Depthwise-separable conv (MobileNet-style): DW kxk + PW 1x1, ReLU.
 

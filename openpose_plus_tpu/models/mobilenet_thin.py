@@ -35,8 +35,17 @@ class MobileNetThinPose(nn.Module):
         w = self.cfg.width_multiplier
         fz = self.cfg.fused_inference
         x = x.astype(common._dtype(d))
-        x = common.ConvRelu(_w(w, 32), stride=2, compute_dtype=d,
-                            name="conv1")(x)          # stride 2
+        # Stem: 3x3 s2. With stem_s2d the SAME (3,3,3,24) params lower via
+        # space-to-depth (checkpoint-identical; see common.StemConvRelu),
+        # and a pre-s2d (B, hin/2, win/2, 12) input is accepted directly.
+        # Odd input dims (s2d needs even H/W) fall back to the plain conv.
+        even = x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+        if self.cfg.stem_s2d and (even or x.shape[-1] == 12):
+            x = common.StemConvRelu(_w(w, 32), compute_dtype=d,
+                                    name="conv1")(x)  # stride 2
+        else:
+            x = common.ConvRelu(_w(w, 32), stride=2, compute_dtype=d,
+                                name="conv1")(x)      # stride 2
         x = common.SepConvRelu(_w(w, 64), compute_dtype=d, name="dw1")(x)
         x = common.SepConvRelu(_w(w, 128), stride=2, compute_dtype=d,
                                name="dw2")(x)         # stride 4

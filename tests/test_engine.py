@@ -86,3 +86,27 @@ def test_engine_multiscale_runs_and_averages(rng):
                                flip_tta=True)
     assert out.coords.shape[0] == 2
     assert bool(np.isfinite(np.asarray(out.score)).all())
+
+
+def test_engine_s2d_input_layout_matches_plain(rng):
+    """The space-to-depth input layout (B, hin/2, win/2, 12) — same bytes,
+    block-permuted — must produce the same skeletons as the plain layout,
+    in every serving mode (plain, flip-TTA, multiscale)."""
+    from openpose_plus_tpu.models.common import space_to_depth
+
+    cfg = _tiny("mobilenet_thin")
+    eng = Engine(cfg, seed=2)
+    images = rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8)
+    images_q = np.asarray(space_to_depth(jax.numpy.asarray(images)))
+    assert images_q.shape == (2, 32, 32, 12)
+    for kw in ({}, {"flip_tta": True}):
+        a = eng.infer(images, **kw)
+        b = eng.infer(images_q, **kw)
+        np.testing.assert_allclose(np.asarray(a.coords),
+                                   np.asarray(b.coords), atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(a.valid),
+                                      np.asarray(b.valid))
+    a = eng.infer_multiscale(images, scales=(0.5, 1.0))
+    b = eng.infer_multiscale(images_q, scales=(0.5, 1.0))
+    np.testing.assert_allclose(np.asarray(a.coords), np.asarray(b.coords),
+                               atol=1e-4)

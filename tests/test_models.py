@@ -60,3 +60,40 @@ def test_deep_supervision_stages_differ():
     out = model.apply(params, x)
     assert not np.allclose(np.asarray(out["conf"][0]),
                            np.asarray(out["conf"][1]))
+
+
+def test_stem_s2d_matches_plain_conv():
+    """The space-to-depth stem lowering (common.StemConvRelu) is the SAME
+    conv as the plain stride-2 ConvRelu — same params, same output — and
+    the pre-transformed (B, H/2, W/2, 12) input layout agrees exactly with
+    the plain (B, H, W, 3) one. f32 on CPU: bit-for-bit."""
+    from openpose_plus_tpu.models.common import space_to_depth
+
+    mk = lambda s2d: ModelConfig(name="mobilenet_thin", hin=64, win=96,
+                                 n_stages=2, compute_dtype="float32",
+                                 stem_s2d=s2d)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 64, 96, 3)), jnp.float32)
+    m_plain, m_s2d = get_model(mk(False)), get_model(mk(True))
+    params = m_plain.init(jax.random.PRNGKey(0), x)
+    # identical param trees: one checkpoint serves both lowerings
+    params_s2d = m_s2d.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(params_s2d))
+    assert jax.tree.map(jnp.shape, params) == jax.tree.map(
+        jnp.shape, params_s2d)
+    ref = m_plain.apply(params, x)
+    for got in (m_s2d.apply(params, x),
+                m_s2d.apply(params, space_to_depth(x))):
+        np.testing.assert_allclose(np.asarray(got["conf"][-1]),
+                                   np.asarray(ref["conf"][-1]), rtol=2e-5,
+                                   atol=1e-5)
+
+
+def test_stem_s2d_odd_dims_fall_back():
+    cfg = ModelConfig(name="mobilenet_thin", hin=64, win=96, n_stages=2,
+                      compute_dtype="float32", stem_s2d=True)
+    model = get_model(cfg)
+    x = jnp.zeros((1, 63, 95, 3), jnp.float32)  # odd: plain conv path
+    params = model.init(jax.random.PRNGKey(0), x)
+    model.apply(params, x)  # must trace without shape errors
