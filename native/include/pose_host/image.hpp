@@ -14,5 +14,7 @@ struct Image {
 bool decode_image(const char* path, Image* out);
 void letterbox_resize(const Image& src, int hin, int win, std::uint8_t* dst,
                       float* scale_out, float* pad_out);
+void space_to_depth_u8(const std::uint8_t* src, int h, int w,
+                       std::uint8_t* dst);
 
 }  // namespace pose_host

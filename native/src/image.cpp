@@ -158,4 +158,25 @@ void letterbox_resize(const Image& src, int hin, int win, std::uint8_t* dst,
   }
 }
 
+// Space-to-depth permutation of a letterboxed (h, w, 3) uint8 buffer into
+// (h/2, w/2, 12), channel = (wy*2+wx)*3 + c — the engine's fast input
+// layout (models/common.py space_to_depth): the stem conv then runs on an
+// MXU-shaped 12-channel grid instead of relayouting 3-channel data on
+// device. Pure byte movement, ~0.1 ms/frame on one host core.
+void space_to_depth_u8(const std::uint8_t* src, int h, int w,
+                       std::uint8_t* dst) {
+  PH_TRACE_SCOPE("s2d");
+  const int ho = h / 2, wo = w / 2;
+  for (int y = 0; y < ho; ++y) {
+    const std::uint8_t* r0 = src + std::size_t(2 * y) * w * 3;
+    const std::uint8_t* r1 = r0 + std::size_t(w) * 3;
+    std::uint8_t* d = dst + std::size_t(y) * wo * 12;
+    for (int x = 0; x < wo; ++x) {
+      std::memcpy(d, r0 + x * 6, 6);      // (wy=0, wx=0|1)
+      std::memcpy(d + 6, r1 + x * 6, 6);  // (wy=1, wx=0|1)
+      d += 12;
+    }
+  }
+}
+
 }  // namespace pose_host

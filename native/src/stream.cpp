@@ -38,9 +38,10 @@ struct Batch {
 class StreamLoader {
  public:
   StreamLoader(std::vector<std::string> paths, int hin, int win, int batch,
-               int workers, int queue_capacity, bool loop)
+               int workers, int queue_capacity, bool loop, bool s2d)
       : paths_(std::move(paths)), hin_(hin), win_(win), batch_(batch),
-        loop_(loop), n_workers_(workers),
+        loop_(loop), s2d_(s2d && hin % 2 == 0 && win % 2 == 0),
+        n_workers_(workers),
         frames_(queue_capacity * std::max(batch, 1)),
         batches_(queue_capacity) {
     // n_workers_ is fixed BEFORE spawning: a fast worker finishing while
@@ -91,7 +92,16 @@ class StreamLoader {
       f.pixels.resize(std::size_t(hin_) * win_ * 3);
       Image img;
       if (decode_image(paths_[idx].c_str(), &img)) {
-        letterbox_resize(img, hin_, win_, f.pixels.data(), &f.scale, f.pad);
+        if (s2d_) {
+          // letterbox into a per-thread scratch plane, then emit the
+          // engine's space-to-depth layout (same bytes, block-permuted)
+          thread_local std::vector<std::uint8_t> scratch;
+          scratch.resize(f.pixels.size());
+          letterbox_resize(img, hin_, win_, scratch.data(), &f.scale, f.pad);
+          space_to_depth_u8(scratch.data(), hin_, win_, f.pixels.data());
+        } else {
+          letterbox_resize(img, hin_, win_, f.pixels.data(), &f.scale, f.pad);
+        }
         f.ok = true;
       }
       if (!frames_.push(std::move(f))) break;
@@ -118,6 +128,7 @@ class StreamLoader {
   std::vector<std::string> paths_;
   int hin_, win_, batch_;
   bool loop_;
+  bool s2d_;
   int n_workers_;
   std::atomic<std::size_t> next_index_{0};
   std::atomic<int> workers_done_{0};
@@ -140,7 +151,23 @@ void* ph_stream_create(const char** paths, int n_paths, int hin, int win,
                        int loop) {
   std::vector<std::string> p(paths, paths + n_paths);
   return new pose_host::StreamLoader(std::move(p), hin, win, batch, workers,
-                                     queue_capacity, loop != 0);
+                                     queue_capacity, loop != 0, false);
+}
+
+// v2: adds the s2d flag — frames are emitted in the engine's
+// space-to-depth layout (hin/2, win/2, 12). Separate symbol so a stale
+// prebuilt .so keeps working with the old binding.
+void* ph_stream_create2(const char** paths, int n_paths, int hin, int win,
+                        int batch, int workers, int queue_capacity, int loop,
+                        int s2d) {
+  std::vector<std::string> p(paths, paths + n_paths);
+  return new pose_host::StreamLoader(std::move(p), hin, win, batch, workers,
+                                     queue_capacity, loop != 0, s2d != 0);
+}
+
+// Standalone space-to-depth for letterboxed frames already in memory.
+void ph_s2d_u8(const std::uint8_t* src, int h, int w, std::uint8_t* dst) {
+  pose_host::space_to_depth_u8(src, h, w, dst);
 }
 
 int ph_stream_next(void* handle, std::uint8_t* out_pixels, float* out_scales,

@@ -51,8 +51,31 @@ def _load(build_if_missing: bool = True) -> Optional[ctypes.CDLL]:
                                  ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
                                  ctypes.c_void_p, ctypes.c_void_p]
     lib.ph_tracer_report.restype = ctypes.c_char_p
+    if hasattr(lib, "ph_stream_create2"):  # stale prebuilt .so lacks v2
+        lib.ph_stream_create2.restype = ctypes.c_void_p
+        lib.ph_stream_create2.argtypes = (
+            lib.ph_stream_create.argtypes + [ctypes.c_int])
+        lib.ph_s2d_u8.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                  ctypes.c_int, ctypes.c_void_p]
     _lib = lib
     return lib
+
+
+def s2d_u8(image: np.ndarray) -> np.ndarray:
+    """(H, W, 3) uint8 -> (H/2, W/2, 12) space-to-depth layout (the
+    engine's fast input format; models/common.py space_to_depth). Uses the
+    native permutation when available, numpy otherwise."""
+    h, w, _ = image.shape
+    lib = _load()
+    if lib is not None and hasattr(lib, "ph_s2d_u8"):
+        image = np.ascontiguousarray(image, np.uint8)
+        out = np.empty((h // 2, w // 2, 12), np.uint8)
+        lib.ph_s2d_u8(image.ctypes.data_as(ctypes.c_void_p), h, w,
+                      out.ctypes.data_as(ctypes.c_void_p))
+        return out
+    x = image.reshape(h // 2, 2, w // 2, 2, 3)
+    return np.ascontiguousarray(x.transpose(0, 2, 1, 3, 4)).reshape(
+        h // 2, w // 2, 12)
 
 
 def is_available() -> bool:
@@ -100,28 +123,39 @@ def tracer_report() -> str:
 class NativeStreamLoader:
     """Multithreaded decode -> letterbox -> batch stream (C++ backed).
 
-    Yields dict batches: images (B,hin,win,3) u8, scales (B,), pads (B,2),
-    indices (B,) — the last batch may be short.
+    Yields dict batches: images (B,hin,win,3) u8 — or (B,hin/2,win/2,12)
+    with s2d=True (the engine's space-to-depth input layout, emitted by
+    the C++ workers for free) — scales (B,), pads (B,2), indices (B,);
+    the last batch may be short.
     """
 
     def __init__(self, paths: Sequence[str], hin: int, win: int,
                  batch: int = 8, workers: int = 8, queue_capacity: int = 4,
-                 loop: bool = False):
+                 loop: bool = False, s2d: bool = False):
         lib = _load()
         if lib is None:
             raise RuntimeError(
                 "libpose_host.so unavailable; run `make -C native`")
         self._lib = lib
         self.hin, self.win, self.batch = hin, win, batch
+        self.s2d = bool(s2d and hin % 2 == 0 and win % 2 == 0
+                        and hasattr(lib, "ph_stream_create2"))
         arr = (ctypes.c_char_p * len(paths))(
             *[p.encode() for p in paths])
-        self._handle = lib.ph_stream_create(arr, len(paths), hin, win, batch,
-                                            workers, queue_capacity,
-                                            int(loop))
+        if hasattr(lib, "ph_stream_create2"):
+            self._handle = lib.ph_stream_create2(
+                arr, len(paths), hin, win, batch, workers, queue_capacity,
+                int(loop), int(self.s2d))
+        else:
+            self._handle = lib.ph_stream_create(
+                arr, len(paths), hin, win, batch, workers, queue_capacity,
+                int(loop))
 
     def __iter__(self) -> Iterator[dict]:
+        shape = ((self.batch, self.hin // 2, self.win // 2, 12) if self.s2d
+                 else (self.batch, self.hin, self.win, 3))
         while True:
-            images = np.empty((self.batch, self.hin, self.win, 3), np.uint8)
+            images = np.empty(shape, np.uint8)
             scales = np.empty((self.batch,), np.float32)
             pads = np.empty((self.batch, 2), np.float32)
             indices = np.empty((self.batch,), np.int32)

@@ -40,6 +40,12 @@ class StreamEstimator:
         self.batch = batch
         self.workers = workers
         self.queue_capacity = queue_capacity
+        # Feed the engine its space-to-depth input layout when the model
+        # supports it (MobileNet-thin s2d stem): the host permutes bytes
+        # during letterbox, the device skips the stem relayout.
+        m = engine.config.model
+        self.s2d = (m.name == "mobilenet_thin" and m.stem_s2d
+                    and m.hin % 2 == 0 and m.win % 2 == 0)
 
     def run_files(self, paths: Sequence[str], loop: bool = False
                   ) -> Iterator[StreamResult]:
@@ -49,7 +55,7 @@ class StreamEstimator:
         m = self.engine.config.model
         loader = native.NativeStreamLoader(
             paths, m.hin, m.win, batch=self.batch, workers=self.workers,
-            queue_capacity=self.queue_capacity, loop=loop)
+            queue_capacity=self.queue_capacity, loop=loop, s2d=self.s2d)
         try:
             yield from self._run(iter(loader))
         finally:
@@ -69,6 +75,8 @@ class StreamEstimator:
                 else:
                     from openpose_plus_tpu.data.augment import letterbox
                     img, s, p = letterbox(frame, m.hin, m.win)
+                if self.s2d:
+                    img = native.s2d_u8(img)
                 images.append(img)
                 scales.append(s)
                 pads.append(p)

@@ -134,3 +134,48 @@ def test_stream_estimator_frames(image_dir):
     results = list(est.run_frames(frames))
     got = sorted(i for r in results for i in r.indices.tolist())
     assert got == list(range(5))
+
+
+def test_s2d_u8_matches_numpy():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (64, 96, 3), dtype=np.uint8)
+    got = native.s2d_u8(img)
+    ref = img.reshape(32, 2, 48, 2, 3).transpose(0, 2, 1, 3, 4).reshape(
+        32, 48, 12)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_stream_loader_s2d_layout(image_dir):
+    """s2d=True loader frames are exactly the block-permutation of the
+    plain loader's letterboxed frames."""
+    def collect(s2d):
+        loader = native.NativeStreamLoader(
+            image_dir, 64, 96, batch=2, workers=2, s2d=s2d)
+        out = {}
+        for b in loader:
+            for i in range(b["images"].shape[0]):
+                out[int(b["indices"][i])] = b["images"][i]
+        loader.close()
+        return out
+    plain, packed = collect(False), collect(True)
+    assert sorted(plain) == sorted(packed)
+    for k, img in plain.items():
+        assert packed[k].shape == (32, 48, 12)
+        np.testing.assert_array_equal(packed[k], native.s2d_u8(img))
+
+
+def test_stream_estimator_uses_s2d_for_mobilenet(image_dir):
+    """End-to-end: the estimator auto-selects the s2d layout for the s2d
+    stem and the engine consumes it."""
+    from openpose_plus_tpu.config import default_config
+    from openpose_plus_tpu.engine import Engine
+    from openpose_plus_tpu.stream import StreamEstimator
+
+    cfg = default_config("mobilenet_thin")
+    cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, hin=64, win=96, n_stages=2, compute_dtype="float32"))
+    eng = Engine(cfg)
+    est = StreamEstimator(eng, batch=2, workers=2)
+    assert est.s2d
+    got = sum(r.n for r in est.run_files(image_dir))
+    assert got == len(image_dir)
