@@ -103,10 +103,11 @@ def main() -> None:
         eng = Engine(cfg, fast_init=True)
         if model == "mobilenet_thin":
             # Engine input layout of record for this model: space-to-depth
-            # uint8 (B, hin/2, win/2, 12) — the same bytes block-permuted,
-            # emitted for free by the host loader during letterbox (the
-            # stem conv then skips an on-device relayout; StemConvRelu).
-            shape = (batch, hin // 2, win // 2, 12)
+            # squared uint8 (B, hin/4, win/4, 48) — the same bytes
+            # block-permuted, emitted for free by the host loader during
+            # letterbox; the whole stride-2 region then runs as dense
+            # MXU-shaped convs on the block grid (common.py deep-s2d).
+            shape = (batch, hin // 4, win // 4, 48)
         else:
             shape = (batch, hin, win, 3)
         images = jax.device_put(jnp.asarray(rng.integers(

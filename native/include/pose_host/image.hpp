@@ -16,5 +16,7 @@ void letterbox_resize(const Image& src, int hin, int win, std::uint8_t* dst,
                       float* scale_out, float* pad_out);
 void space_to_depth_u8(const std::uint8_t* src, int h, int w,
                        std::uint8_t* dst);
+void space_to_depth2_u8(const std::uint8_t* src, int h, int w,
+                        std::uint8_t* dst);
 
 }  // namespace pose_host

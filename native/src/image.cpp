@@ -179,4 +179,28 @@ void space_to_depth_u8(const std::uint8_t* src, int h, int w,
   }
 }
 
+// Space-to-depth applied twice: (h, w, 3) -> (h/4, w/4, 48), channel
+// ((vy*2+vx)*4 + wy*2+wx)*3 + c for pixel (4I+2vy+wy, 4J+2vx+wx) — the
+// engine's fastest input layout: the whole stride-2 region of the CNN
+// then runs as dense MXU-shaped convs on the block grid (deep-s2d
+// lowering, models/common.py).
+void space_to_depth2_u8(const std::uint8_t* src, int h, int w,
+                        std::uint8_t* dst) {
+  PH_TRACE_SCOPE("s2d");
+  const int wo = w / 4;
+  for (int y = 0; y < (h / 4) * 4; ++y) {
+    const int I = y / 4, vy = (y / 2) % 2, wy = y % 2;
+    const std::uint8_t* s = src + std::size_t(y) * w * 3;
+    std::uint8_t* drow = dst + std::size_t(I) * wo * 48;
+    for (int x = 0; x < wo * 4; ++x) {
+      const int J = x / 4, vx = (x / 2) % 2, wx = x % 2;
+      std::uint8_t* d =
+          drow + J * 48 + ((vy * 2 + vx) * 4 + wy * 2 + wx) * 3;
+      d[0] = s[x * 3];
+      d[1] = s[x * 3 + 1];
+      d[2] = s[x * 3 + 2];
+    }
+  }
+}
+
 }  // namespace pose_host

@@ -37,10 +37,16 @@ struct Batch {
 
 class StreamLoader {
  public:
+  // s2d_level: 0 = plain HWC, 1 = space-to-depth (needs even dims),
+  // 2 = space-to-depth squared (needs dims % 4 == 0); demoted when the
+  // geometry does not allow the requested level.
   StreamLoader(std::vector<std::string> paths, int hin, int win, int batch,
-               int workers, int queue_capacity, bool loop, bool s2d)
+               int workers, int queue_capacity, bool loop, int s2d_level)
       : paths_(std::move(paths)), hin_(hin), win_(win), batch_(batch),
-        loop_(loop), s2d_(s2d && hin % 2 == 0 && win % 2 == 0),
+        loop_(loop),
+        s2d_(s2d_level >= 2 && hin % 4 == 0 && win % 4 == 0
+                 ? 2
+                 : (s2d_level >= 1 && hin % 2 == 0 && win % 2 == 0 ? 1 : 0)),
         n_workers_(workers),
         frames_(queue_capacity * std::max(batch, 1)),
         batches_(queue_capacity) {
@@ -98,7 +104,10 @@ class StreamLoader {
           thread_local std::vector<std::uint8_t> scratch;
           scratch.resize(f.pixels.size());
           letterbox_resize(img, hin_, win_, scratch.data(), &f.scale, f.pad);
-          space_to_depth_u8(scratch.data(), hin_, win_, f.pixels.data());
+          if (s2d_ == 2)
+            space_to_depth2_u8(scratch.data(), hin_, win_, f.pixels.data());
+          else
+            space_to_depth_u8(scratch.data(), hin_, win_, f.pixels.data());
         } else {
           letterbox_resize(img, hin_, win_, f.pixels.data(), &f.scale, f.pad);
         }
@@ -128,7 +137,7 @@ class StreamLoader {
   std::vector<std::string> paths_;
   int hin_, win_, batch_;
   bool loop_;
-  bool s2d_;
+  int s2d_;
   int n_workers_;
   std::atomic<std::size_t> next_index_{0};
   std::atomic<int> workers_done_{0};
@@ -154,20 +163,25 @@ void* ph_stream_create(const char** paths, int n_paths, int hin, int win,
                                      queue_capacity, loop != 0, false);
 }
 
-// v2: adds the s2d flag — frames are emitted in the engine's
-// space-to-depth layout (hin/2, win/2, 12). Separate symbol so a stale
-// prebuilt .so keeps working with the old binding.
+// v2: adds the s2d level — frames are emitted in the engine's
+// space-to-depth layout: level 1 = (hin/2, win/2, 12), level 2 =
+// (hin/4, win/4, 48). Separate symbol so a stale prebuilt .so keeps
+// working with the old binding.
 void* ph_stream_create2(const char** paths, int n_paths, int hin, int win,
                         int batch, int workers, int queue_capacity, int loop,
-                        int s2d) {
+                        int s2d_level) {
   std::vector<std::string> p(paths, paths + n_paths);
   return new pose_host::StreamLoader(std::move(p), hin, win, batch, workers,
-                                     queue_capacity, loop != 0, s2d != 0);
+                                     queue_capacity, loop != 0, s2d_level);
 }
 
 // Standalone space-to-depth for letterboxed frames already in memory.
 void ph_s2d_u8(const std::uint8_t* src, int h, int w, std::uint8_t* dst) {
   pose_host::space_to_depth_u8(src, h, w, dst);
+}
+
+void ph_s2d2_u8(const std::uint8_t* src, int h, int w, std::uint8_t* dst) {
+  pose_host::space_to_depth2_u8(src, h, w, dst);
 }
 
 int ph_stream_next(void* handle, std::uint8_t* out_pixels, float* out_scales,

@@ -183,14 +183,17 @@ class Engine:
             self.calibrate(images)
         return self._forward(self.params, images)
 
-    def compile(self, batch_size: int, s2d_input: bool = False) -> None:
+    def compile(self, batch_size: int, input_layout: str = "plain") -> None:
         """AOT-compile for a fixed batch size (the reference's TensorRT
         "engine build" step; subsequent infer() calls at this shape hit the
-        compile cache). s2d_input compiles for the space-to-depth layout
-        (B, hin/2, win/2, 12) instead of (B, hin, win, 3)."""
+        compile cache). input_layout: "plain" (B,hin,win,3), "s2d"
+        (B,hin/2,win/2,12) or "s2d2" (B,hin/4,win/4,48) — the
+        space-to-depth layouts the host loader can emit."""
         m = self.config.model
-        shape = ((batch_size, m.hin // 2, m.win // 2, 12) if s2d_input
-                 else (batch_size, m.hin, m.win, 3))
+        shape = {"plain": (batch_size, m.hin, m.win, 3),
+                 "s2d": (batch_size, m.hin // 2, m.win // 2, 12),
+                 "s2d2": (batch_size, m.hin // 4, m.win // 4, 48),
+                 }[input_layout]
         self._infer.lower(self.params,
                           jax.ShapeDtypeStruct(shape, jnp.uint8)).compile()
 
@@ -213,10 +216,12 @@ def _infer_multiscale_impl(params, images, *, model, postproc_cfg, scales,
     backbone stride so every scale traces a valid static shape."""
     from openpose_plus_tpu.postproc.flip import mirror_maps
 
-    if images.shape[-1] == 12:
+    if images.shape[-1] in (12, 48):
         # s2d layout: scale search resizes the plain image — convert once
         from openpose_plus_tpu.models.common import depth_to_space
 
+        if images.shape[-1] == 48:
+            images = depth_to_space(images, 12)
         images = depth_to_space(images, 3)
     b, base_h, base_w = images.shape[0], images.shape[1], images.shape[2]
     hout, wout = base_h // stride, base_w // stride
@@ -262,6 +267,10 @@ def _infer_tta_impl(params, images, *, model, postproc_cfg) -> HumanBatch:
         from openpose_plus_tpu.models.common import s2d_flip_w
 
         flipped = s2d_flip_w(images, 3)
+    elif images.shape[-1] == 48:  # s2d^2: same at both block levels
+        from openpose_plus_tpu.models.common import s2d2_flip_w
+
+        flipped = s2d2_flip_w(images, 3)
     else:
         flipped = images[:, :, ::-1]
     conf_f, paf_f = _forward_impl(params, flipped, model=model)

@@ -19,6 +19,7 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 # Model output convention: a plain dict {'conf': [per-stage
@@ -149,22 +150,113 @@ def s2d_flip_w(x: jax.Array, c: int) -> jax.Array:
     return x[:, :, :, :, ::-1].reshape(b, h, w, c4)
 
 
+def s2d2_flip_w(x: jax.Array, c: int) -> jax.Array:
+    """Horizontal flip of an s2d^2-layout image (W % 4 == 0): reverse the
+    outer block axis, swap the vx groups, swap the wx groups."""
+    b, h, w, c16 = x.shape
+    x = x[:, :, ::-1].reshape(b, h, w, 2, 2, 2, 2, c)
+    return x[:, :, :, :, ::-1, :, ::-1].reshape(b, h, w, c16)
+
+
+# ---------------------------------------------------------------------
+# Deep space-to-depth lowerings (MobileNet-thin early stage).
+#
+# The stride-2/4 region (conv1, dw1, dw2) is the roofline-starved part of
+# the net: 3-48 channels waste MXU lanes and tile padding inflates HBM
+# traffic (profiled 18-23% of peak; scripts/profile_stem_chain.py). The
+# fix is structural: stay on the (H/4, W/4) block grid with 4x/16x the
+# channels, where every conv below is a dense MXU-shaped contraction of
+# the SAME original parameters, rearranged at trace time:
+#
+#   conv1 k3 s2 (3->C)       => dense 2x2, 16*3 -> 4C   [s2d^2 in, s2d out]
+#   dw 3x3 s1 depthwise (C)  => dense 3x3, 4C -> 4C     [block-sparse]
+#   pw 1x1 (C->F)            => dense 1x1, 4C -> 4F     [block-diagonal]
+#   dw 3x3 s2 depthwise (C)  => dense 2x2, 4C -> C      [s2d in, PLAIN out]
+#
+# Zero-filled slots waste MXU FLOPs — free in a bandwidth-bound stage
+# (measured 3.6x: 1.98 ms -> 0.54 ms for the whole chain at bs=8 368x656).
+# s2d-layout channel order everywhere: m-major, block position minor
+# (m*4 + wy*2 + wx); the s2d^2 INPUT uses nested position-major order
+# (space_to_depth applied twice).
+
+def _stem_s2d2_kernel(kernel: jax.Array, cin: int, cout: int) -> jax.Array:
+    """(3,3,cin,cout) k3-s2 kernel -> (2,2,16*cin,4*cout) on the s2d^2
+    grid. In channel ((vy*2+vx)*4 + wy*2+wx)*cin + c; out o*4 + uy*2+ux:
+    output row 2I+uy reads original rows 4I+2uy..+2 = block rows I, I+1."""
+    ind = np.zeros((2, 2, 16, 4, 3, 3), np.float32)
+    for P in range(2):
+        for Q in range(2):
+            for uy, ux, vy, vx, wy, wx in np.ndindex(2, 2, 2, 2, 2, 2):
+                ky = 4 * P + 2 * vy + wy - 2 * uy
+                kx = 4 * Q + 2 * vx + wx - 2 * ux
+                if 0 <= ky < 3 and 0 <= kx < 3:
+                    ind[P, Q, (vy * 2 + vx) * 4 + wy * 2 + wx,
+                        uy * 2 + ux, ky, kx] = 1.0
+    k = jnp.einsum("PQjukl,klcO->PQjcOu", jnp.asarray(ind), kernel)
+    return k.reshape(2, 2, 16 * cin, cout * 4)
+
+
+def _dw_s2d_kernel(dwk: jax.Array, c: int) -> jax.Array:
+    """Depthwise (3,3,1,c) s1 -> dense (3,3,4c,4c) on the s2d grid
+    (channel m*4+pos): out row 2I+uy reads rows 2I+uy-1..+1, i.e. block
+    rows I-1..I+1 — a 3x3 block window with pad 1."""
+    ind = np.zeros((3, 3, 4, 4, 3, 3), np.float32)
+    for P in range(3):
+        for Q in range(3):
+            for uy, ux, vy, vx in np.ndindex(2, 2, 2, 2):
+                ky = 2 * P + vy - uy - 1
+                kx = 2 * Q + vx - ux - 1
+                if 0 <= ky < 3 and 0 <= kx < 3:
+                    ind[P, Q, vy * 2 + vx, uy * 2 + ux, ky, kx] = 1.0
+    t = jnp.einsum("PQiokl,klm->PQmio", jnp.asarray(ind), dwk[:, :, 0, :])
+    e = t[:, :, :, :, None, :] * jnp.eye(c, dtype=dwk.dtype)[
+        None, None, :, None, :, None]
+    return e.reshape(3, 3, 4 * c, 4 * c)
+
+
+def _dw_s2d_stride2_kernel(dwk: jax.Array, c: int) -> jax.Array:
+    """Depthwise (3,3,1,c) s2 -> dense (2,2,4c,c): consumes the s2d grid,
+    emits the PLAIN stride-2 grid (out pixel P reads rows 2P..2P+2 =
+    block rows P, P+1; pad (0,1))."""
+    ind = np.zeros((2, 2, 4, 3, 3), np.float32)
+    for p in range(2):
+        for q in range(2):
+            for vy, vx in np.ndindex(2, 2):
+                ky, kx = 2 * p + vy, 2 * q + vx
+                if ky < 3 and kx < 3:
+                    ind[p, q, vy * 2 + vx, ky, kx] = 1.0
+    t = jnp.einsum("pqikl,kln->pqni", jnp.asarray(ind), dwk[:, :, 0, :])
+    e = t[:, :, :, :, None] * jnp.eye(c, dtype=dwk.dtype)[
+        None, None, :, None, :]
+    return e.reshape(2, 2, 4 * c, c)
+
+
+def _pw_s2d_kernel(pwk: jax.Array, c: int, f: int) -> jax.Array:
+    """Pointwise (1,1,c,f) -> block-diagonal (1,1,4c,4f) on the s2d grid
+    (each block position uses the same weights)."""
+    e = pwk[0, 0, :, None, :, None] * jnp.eye(4, dtype=pwk.dtype)[
+        None, :, None, :]
+    return e.reshape(1, 1, 4 * c, 4 * f)
+
+
 class StemConvRelu(nn.Module):
     """3x3 stride-2 stem conv + ReLU, lowered via space-to-depth.
 
     Parameter-compatible with ConvRelu (same "kernel" (3,3,cin,cout) and
-    "bias" names/shapes — one checkpoint serves both lowerings); the 2x2
-    s2d-grid kernel is rearranged from those params at trace time. Accepts
-    either a plain (B,H,W,cin) input (s2d applied on device) or a
-    pre-transformed (B,H/2,W/2,4*cin) input — the fast path: the host
-    loader emits s2d bytes during letterbox, and conv1 stops being the
-    most roofline-starved layer in the net (3.6% of HBM peak -> ~12%).
+    "bias" names/shapes — one checkpoint serves every lowering). Three
+    input forms, selected by shape:
 
-    Numerics: the same 9 tap products per output, contracted 2x2x4cin on
-    the MXU instead of im2col 3x3xcin — bf16-accumulation-order level
-    differences only (~1e-3; scripts/profile_conv1_u8.py asserts it).
-    SAME padding parity: k3 s2 on even dims pads (0,1); on the s2d grid
-    that is exactly k2 s1 with padding ((0,1),(0,1)).
+      (B,H,W,cin)        plain — s2d applied on device, then the k2 path
+      (B,H/2,W/2,4cin)   s2d — 2x2 kernel over 4cin channels, PLAIN out
+      (B,H/4,W/4,16cin)  s2d^2 — 2x2 kernel over 16cin channels, and the
+                         OUTPUT stays on the block grid ((B,H/4,W/4,4cout),
+                         channel o*4+pos) feeding s2d-space SepConvRelu
+                         blocks — the fast path (scripts/profile_stem_*).
+
+    Numerics: the same 9 tap products per output, contracted on the MXU
+    instead of im2col — bf16-accumulation-order differences only (~1e-3;
+    exact in f32). SAME padding parity: k3 s2 on even dims pads (0,1); on
+    the block grid that is exactly k2 s1 with padding ((0,1),(0,1)).
     """
 
     features: int
@@ -179,21 +271,26 @@ class StemConvRelu(nn.Module):
         bias = self.param("bias", nn.initializers.zeros_init(),
                           (self.features,), jnp.float32)
         dt = _dtype(self.compute_dtype)
-        wq = jnp.zeros((2, 2, 4 * cin, self.features), kernel.dtype)
-        for ky in range(3):
-            for kx in range(3):
-                p, wy = divmod(ky, 2)
-                q, wx = divmod(kx, 2)
-                g = (wy * 2 + wx) * cin
-                wq = wq.at[p, q, g:g + cin].set(kernel[ky, kx])
-        if x.shape[-1] == cin:
-            x = space_to_depth(x)
-        elif x.shape[-1] != 4 * cin:
-            raise ValueError(
-                f"stem expects {cin} or {4 * cin} channels, got {x.shape}")
+        if x.shape[-1] == 16 * cin:  # s2d^2: emit s2d-layout output
+            wq = _stem_s2d2_kernel(kernel, cin, self.features)
+            b = jnp.repeat(bias, 4)
+        else:
+            if x.shape[-1] == cin:
+                x = space_to_depth(x)
+            elif x.shape[-1] != 4 * cin:
+                raise ValueError(f"stem expects {cin}, {4 * cin} or "
+                                 f"{16 * cin} channels, got {x.shape}")
+            wq = jnp.zeros((2, 2, 4 * cin, self.features), kernel.dtype)
+            for ky in range(3):
+                for kx in range(3):
+                    p, wy = divmod(ky, 2)
+                    q, wx = divmod(kx, 2)
+                    g = (wy * 2 + wx) * cin
+                    wq = wq.at[p, q, g:g + cin].set(kernel[ky, kx])
+            b = bias
         y = jax.lax.conv_general_dilated(
             x.astype(dt), wq.astype(dt), (1, 1), [(0, 1), (0, 1)],
-            dimension_numbers=_DN) + bias.astype(dt)
+            dimension_numbers=_DN) + b.astype(dt)
         return nn.relu(y)
 
 
@@ -214,10 +311,16 @@ class SepConvRelu(nn.Module):
     stride: int = 1
     compute_dtype: str = "bfloat16"
     fused: bool = False
+    # Input (and for stride 1, output) live on the space-to-depth block
+    # grid with 4x channels (m*4+pos order); the SAME depthwise/pointwise
+    # params are rearranged into dense MXU-shaped kernels at trace time
+    # (see the deep-s2d lowering notes above). stride 2 emits the plain
+    # grid. Requires kernel==3 and a float compute path.
+    s2d_space: bool = False
 
     @nn.compact
     def __call__(self, x):
-        c_in = x.shape[-1]
+        c_in = x.shape[-1] // 4 if self.s2d_space else x.shape[-1]
         k = self.kernel
         dt = _dtype(self.compute_dtype)
         dwk = self.param("dw_kernel", nn.initializers.lecun_normal(),
@@ -228,6 +331,26 @@ class SepConvRelu(nn.Module):
                          (1, 1, c_in, self.features), jnp.float32)
         pwb = self.param("pw_bias", nn.initializers.zeros_init(),
                          (self.features,), jnp.float32)
+
+        if self.s2d_space:
+            assert k == 3 and self.stride in (1, 2) \
+                and self.compute_dtype != "int8"
+            if self.stride == 1:
+                y = jax.lax.conv_general_dilated(
+                    x.astype(dt), _dw_s2d_kernel(dwk, c_in).astype(dt),
+                    (1, 1), [(1, 1), (1, 1)], dimension_numbers=_DN)
+                y = nn.relu(y + jnp.repeat(dwb, 4).astype(dt))
+                y = jax.lax.conv_general_dilated(
+                    y, _pw_s2d_kernel(pwk, c_in, self.features).astype(dt),
+                    (1, 1), "SAME", dimension_numbers=_DN)
+                return nn.relu(y + jnp.repeat(pwb, 4).astype(dt))
+            y = jax.lax.conv_general_dilated(
+                x.astype(dt), _dw_s2d_stride2_kernel(dwk, c_in).astype(dt),
+                (1, 1), [(0, 1), (0, 1)], dimension_numbers=_DN)
+            y = nn.relu(y + dwb.astype(dt))  # plain grid from here on
+            y = jax.lax.conv_general_dilated(
+                y, pwk.astype(dt), (1, 1), "SAME", dimension_numbers=_DN)
+            return nn.relu(y + pwb.astype(dt))
 
         if (self.fused and self.stride == 1 and k == 3
                 and self.compute_dtype == "bfloat16"):

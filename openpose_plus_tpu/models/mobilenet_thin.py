@@ -35,20 +35,46 @@ class MobileNetThinPose(nn.Module):
         w = self.cfg.width_multiplier
         fz = self.cfg.fused_inference
         x = x.astype(common._dtype(d))
-        # Stem: 3x3 s2. With stem_s2d the SAME (3,3,3,24) params lower via
-        # space-to-depth (checkpoint-identical; see common.StemConvRelu),
-        # and a pre-s2d (B, hin/2, win/2, 12) input is accepted directly.
-        # Odd input dims (s2d needs even H/W) fall back to the plain conv.
+        # Stem + stride-2 region: conv1 (3x3 s2), dw1, dw2 (s2 -> stride 4).
+        # With stem_s2d the SAME params lower via space-to-depth
+        # (checkpoint-identical; see common.py deep-s2d notes). Tiers by
+        # input shape: the DEEP tier keeps conv1/dw1/dw2 on the (H/4, W/4)
+        # block grid (3.6x the plain chain; needs H,W % 4 == 0 or a
+        # pre-transformed s2d^2 input (B,H/4,W/4,48)); the s2d-stem tier
+        # lowers only conv1 (H,W % 2 == 0 or s2d input (B,H/2,W/2,12));
+        # otherwise the plain lowering. int8 mode keeps the plain tier
+        # (the deep tier's dense rearrangements are float-path only).
+        c = x.shape[-1]
+        mod4 = x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0
         even = x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
-        if self.cfg.stem_s2d and (even or x.shape[-1] == 12):
+        deep = (self.cfg.stem_s2d and d != "int8"
+                and (c == 48 or (c == 3 and mod4)
+                     or (c == 12 and x.shape[1] % 2 == 0
+                         and x.shape[2] % 2 == 0)))
+        if deep:
+            if c == 3:
+                x = common.space_to_depth(common.space_to_depth(x))
+            elif c == 12:
+                x = common.space_to_depth(x)
             x = common.StemConvRelu(_w(w, 32), compute_dtype=d,
-                                    name="conv1")(x)  # stride 2
+                                    name="conv1")(x)  # s2d-layout out
+            x = common.SepConvRelu(_w(w, 64), compute_dtype=d,
+                                   s2d_space=True, name="dw1")(x)
+            x = common.SepConvRelu(_w(w, 128), stride=2, compute_dtype=d,
+                                   s2d_space=True, name="dw2")(x)  # plain
         else:
-            x = common.ConvRelu(_w(w, 32), stride=2, compute_dtype=d,
-                                name="conv1")(x)      # stride 2
-        x = common.SepConvRelu(_w(w, 64), compute_dtype=d, name="dw1")(x)
-        x = common.SepConvRelu(_w(w, 128), stride=2, compute_dtype=d,
-                               name="dw2")(x)         # stride 4
+            if c == 48:
+                raise ValueError(
+                    "s2d^2 input needs stem_s2d and a float compute mode")
+            if self.cfg.stem_s2d and (even or c == 12):
+                x = common.StemConvRelu(_w(w, 32), compute_dtype=d,
+                                        name="conv1")(x)  # stride 2
+            else:
+                x = common.ConvRelu(_w(w, 32), stride=2, compute_dtype=d,
+                                    name="conv1")(x)      # stride 2
+            x = common.SepConvRelu(_w(w, 64), compute_dtype=d, name="dw1")(x)
+            x = common.SepConvRelu(_w(w, 128), stride=2, compute_dtype=d,
+                                   name="dw2")(x)          # stride 4
         x = common.SepConvRelu(_w(w, 128), compute_dtype=d, name="dw3")(x)
         feat_s4 = x
         x = common.SepConvRelu(_w(w, 256), stride=2, compute_dtype=d,

@@ -57,6 +57,7 @@ def _load(build_if_missing: bool = True) -> Optional[ctypes.CDLL]:
             lib.ph_stream_create.argtypes + [ctypes.c_int])
         lib.ph_s2d_u8.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                   ctypes.c_int, ctypes.c_void_p]
+        lib.ph_s2d2_u8.argtypes = lib.ph_s2d_u8.argtypes
     _lib = lib
     return lib
 
@@ -76,6 +77,26 @@ def s2d_u8(image: np.ndarray) -> np.ndarray:
     x = image.reshape(h // 2, 2, w // 2, 2, 3)
     return np.ascontiguousarray(x.transpose(0, 2, 1, 3, 4)).reshape(
         h // 2, w // 2, 12)
+
+
+def s2d2_u8(image: np.ndarray) -> np.ndarray:
+    """(H, W, 3) uint8 -> (H/4, W/4, 48): space-to-depth applied twice —
+    the engine's fastest input layout (deep-s2d stem; models/common.py)."""
+    h, w, _ = image.shape
+    lib = _load()
+    if lib is not None and hasattr(lib, "ph_s2d2_u8"):
+        image = np.ascontiguousarray(image, np.uint8)
+        out = np.empty((h // 4, w // 4, 48), np.uint8)
+        lib.ph_s2d2_u8(image.ctypes.data_as(ctypes.c_void_p), h, w,
+                       out.ctypes.data_as(ctypes.c_void_p))
+        return out
+
+    def once(a):  # generic-channel numpy space-to-depth
+        hh, ww, c = a.shape
+        a = a.reshape(hh // 2, 2, ww // 2, 2, c).transpose(0, 2, 1, 3, 4)
+        return a.reshape(hh // 2, ww // 2, 4 * c)
+
+    return np.ascontiguousarray(once(once(image)))
 
 
 def is_available() -> bool:
@@ -131,29 +152,39 @@ class NativeStreamLoader:
 
     def __init__(self, paths: Sequence[str], hin: int, win: int,
                  batch: int = 8, workers: int = 8, queue_capacity: int = 4,
-                 loop: bool = False, s2d: bool = False):
+                 loop: bool = False, s2d: int = 0):
         lib = _load()
         if lib is None:
             raise RuntimeError(
                 "libpose_host.so unavailable; run `make -C native`")
         self._lib = lib
         self.hin, self.win, self.batch = hin, win, batch
-        self.s2d = bool(s2d and hin % 2 == 0 and win % 2 == 0
-                        and hasattr(lib, "ph_stream_create2"))
+        # s2d level: 0 plain, 1 (hin/2,win/2,12), 2 (hin/4,win/4,48);
+        # demoted when the geometry or an old prebuilt .so disallows it.
+        s2d = int(s2d)
+        if not hasattr(lib, "ph_stream_create2"):
+            s2d = 0
+        if s2d >= 2 and not (hin % 4 == 0 and win % 4 == 0):
+            s2d = 1
+        if s2d >= 1 and not (hin % 2 == 0 and win % 2 == 0):
+            s2d = 0
+        self.s2d = s2d
         arr = (ctypes.c_char_p * len(paths))(
             *[p.encode() for p in paths])
         if hasattr(lib, "ph_stream_create2"):
             self._handle = lib.ph_stream_create2(
                 arr, len(paths), hin, win, batch, workers, queue_capacity,
-                int(loop), int(self.s2d))
+                int(loop), self.s2d)
         else:
             self._handle = lib.ph_stream_create(
                 arr, len(paths), hin, win, batch, workers, queue_capacity,
                 int(loop))
 
     def __iter__(self) -> Iterator[dict]:
-        shape = ((self.batch, self.hin // 2, self.win // 2, 12) if self.s2d
-                 else (self.batch, self.hin, self.win, 3))
+        shape = {0: (self.batch, self.hin, self.win, 3),
+                 1: (self.batch, self.hin // 2, self.win // 2, 12),
+                 2: (self.batch, self.hin // 4, self.win // 4, 48),
+                 }[self.s2d]
         while True:
             images = np.empty(shape, np.uint8)
             scales = np.empty((self.batch,), np.float32)

@@ -42,10 +42,19 @@ class StreamEstimator:
         self.queue_capacity = queue_capacity
         # Feed the engine its space-to-depth input layout when the model
         # supports it (MobileNet-thin s2d stem): the host permutes bytes
-        # during letterbox, the device skips the stem relayout.
+        # during letterbox, the device skips the stem relayout. Level 2
+        # (dims % 4 == 0) additionally runs the whole stride-2 region as
+        # dense block-grid convs (deep-s2d lowering, models/common.py).
         m = engine.config.model
-        self.s2d = (m.name == "mobilenet_thin" and m.stem_s2d
-                    and m.hin % 2 == 0 and m.win % 2 == 0)
+        if (m.name == "mobilenet_thin" and m.stem_s2d
+                and m.compute_dtype != "int8"
+                and m.hin % 4 == 0 and m.win % 4 == 0):
+            self.s2d = 2
+        elif (m.name == "mobilenet_thin" and m.stem_s2d
+                and m.hin % 2 == 0 and m.win % 2 == 0):
+            self.s2d = 1
+        else:
+            self.s2d = 0
 
     def run_files(self, paths: Sequence[str], loop: bool = False
                   ) -> Iterator[StreamResult]:
@@ -75,7 +84,9 @@ class StreamEstimator:
                 else:
                     from openpose_plus_tpu.data.augment import letterbox
                     img, s, p = letterbox(frame, m.hin, m.win)
-                if self.s2d:
+                if self.s2d == 2:
+                    img = native.s2d2_u8(img)
+                elif self.s2d == 1:
                     img = native.s2d_u8(img)
                 images.append(img)
                 scales.append(s)

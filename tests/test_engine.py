@@ -98,15 +98,18 @@ def test_engine_s2d_input_layout_matches_plain(rng):
     eng = Engine(cfg, seed=2)
     images = rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8)
     images_q = np.asarray(space_to_depth(jax.numpy.asarray(images)))
+    images_q2 = np.asarray(space_to_depth(jax.numpy.asarray(images_q)))
     assert images_q.shape == (2, 32, 32, 12)
-    for kw in ({}, {"flip_tta": True}):
-        a = eng.infer(images, **kw)
-        b = eng.infer(images_q, **kw)
+    assert images_q2.shape == (2, 16, 16, 48)
+    for alt in (images_q, images_q2):
+        for kw in ({}, {"flip_tta": True}):
+            a = eng.infer(images, **kw)
+            b = eng.infer(alt, **kw)
+            np.testing.assert_allclose(np.asarray(a.coords),
+                                       np.asarray(b.coords), atol=1e-4)
+            np.testing.assert_array_equal(np.asarray(a.valid),
+                                          np.asarray(b.valid))
+        a = eng.infer_multiscale(images, scales=(0.5, 1.0))
+        b = eng.infer_multiscale(alt, scales=(0.5, 1.0))
         np.testing.assert_allclose(np.asarray(a.coords),
                                    np.asarray(b.coords), atol=1e-4)
-        np.testing.assert_array_equal(np.asarray(a.valid),
-                                      np.asarray(b.valid))
-    a = eng.infer_multiscale(images, scales=(0.5, 1.0))
-    b = eng.infer_multiscale(images_q, scales=(0.5, 1.0))
-    np.testing.assert_allclose(np.asarray(a.coords), np.asarray(b.coords),
-                               atol=1e-4)

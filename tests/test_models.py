@@ -84,7 +84,8 @@ def test_stem_s2d_matches_plain_conv():
         jnp.shape, params_s2d)
     ref = m_plain.apply(params, x)
     for got in (m_s2d.apply(params, x),
-                m_s2d.apply(params, space_to_depth(x))):
+                m_s2d.apply(params, space_to_depth(x)),
+                m_s2d.apply(params, space_to_depth(space_to_depth(x)))):
         np.testing.assert_allclose(np.asarray(got["conf"][-1]),
                                    np.asarray(ref["conf"][-1]), rtol=2e-5,
                                    atol=1e-5)

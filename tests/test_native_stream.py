@@ -179,3 +179,35 @@ def test_stream_estimator_uses_s2d_for_mobilenet(image_dir):
     assert est.s2d
     got = sum(r.n for r in est.run_files(image_dir))
     assert got == len(image_dir)
+
+
+def test_s2d2_u8_matches_numpy():
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (64, 96, 3), dtype=np.uint8)
+    got = native.s2d2_u8(img)
+    a = img.reshape(32, 2, 48, 2, 3).transpose(0, 2, 1, 3, 4).reshape(
+        32, 48, 12)
+    ref = a.reshape(16, 2, 24, 2, 12).transpose(0, 2, 1, 3, 4).reshape(
+        16, 24, 48)
+    assert got.shape == (16, 24, 48)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_stream_loader_s2d2_layout(image_dir):
+    loader = native.NativeStreamLoader(
+        image_dir, 64, 96, batch=2, workers=2, s2d=2)
+    assert loader.s2d == 2
+    plain = native.NativeStreamLoader(
+        image_dir, 64, 96, batch=2, workers=2)
+    by_idx = {}
+    for b in plain:
+        for i in range(b["images"].shape[0]):
+            by_idx[int(b["indices"][i])] = b["images"][i]
+    plain.close()
+    for b in loader:
+        for i in range(b["images"].shape[0]):
+            img = b["images"][i]
+            assert img.shape == (16, 24, 48)
+            np.testing.assert_array_equal(
+                img, native.s2d2_u8(by_idx[int(b["indices"][i])]))
+    loader.close()
