@@ -7,10 +7,15 @@ place so a methodology fix lands everywhere at once.
 from __future__ import annotations
 
 import os
+import sys
 import time
 
 
 def setup_cache() -> None:
+    # repo root on sys.path so profile scripts can import the package
+    # however they are launched
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
     import jax
 
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
