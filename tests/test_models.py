@@ -98,3 +98,37 @@ def test_stem_s2d_odd_dims_fall_back():
     x = jnp.zeros((1, 63, 95, 3), jnp.float32)  # odd: plain conv path
     params = model.init(jax.random.PRNGKey(0), x)
     model.apply(params, x)  # must trace without shape errors
+
+
+def test_stem_s2d_grads_match_plain_conv():
+    """Training through the deep-s2d lowering must produce the SAME
+    parameter gradients as the plain lowering (the rearranged kernels are
+    linear in the original params, so autodiff scatters grads back
+    exactly; f32 CPU)."""
+    mk = lambda s2d: ModelConfig(name="mobilenet_thin", hin=64, win=96,
+                                 n_stages=2, compute_dtype="float32",
+                                 stem_s2d=s2d)
+    x = jnp.asarray(np.random.default_rng(3).standard_normal(
+        (2, 64, 96, 3)), jnp.float32)
+    m_plain, m_s2d = get_model(mk(False)), get_model(mk(True))
+    params = m_plain.init(jax.random.PRNGKey(1), x)
+
+    def loss(model, p):
+        out = model.apply(p, x)
+        return (jnp.sum(out["conf"][-1] ** 2)
+                + jnp.sum(out["paf"][-1] ** 2))
+
+    g_plain = jax.grad(lambda p: loss(m_plain, p))(params)
+    g_s2d = jax.grad(lambda p: loss(m_s2d, p))(params)
+    flat_a = jax.tree_util.tree_leaves_with_path(g_plain)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(g_s2d))
+    # Same param tree; grads equal up to f32 accumulation noise. The
+    # noise is AMPLIFIED by downstream ReLU kinks (a ~1e-6 forward
+    # difference can flip a mask bit), so the per-leaf normalized
+    # tolerance is 5e-4 — a real rearrangement bug shows up as O(1).
+    for path, ga in flat_a:
+        gb = flat_b[path]
+        scale = max(float(jnp.max(jnp.abs(ga))), 1e-6)
+        np.testing.assert_allclose(np.asarray(gb) / scale,
+                                   np.asarray(ga) / scale, atol=5e-4,
+                                   err_msg=str(path))
