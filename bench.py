@@ -101,7 +101,9 @@ def main() -> None:
         cfg = cfg.replace(model=dataclasses.replace(
             cfg.model, hin=hin, win=win, compute_dtype=dtype))
         eng = Engine(cfg, fast_init=True)
-        if model == "mobilenet_thin":
+        m = cfg.model
+        if (model == "mobilenet_thin" and m.stem_s2d and dtype != "int8"
+                and hin % 4 == 0 and win % 4 == 0):
             # Engine input layout of record for this model: space-to-depth
             # squared uint8 (B, hin/4, win/4, 48) — the same bytes
             # block-permuted, emitted for free by the host loader during

@@ -186,7 +186,7 @@ void space_to_depth_u8(const std::uint8_t* src, int h, int w,
 // lowering, models/common.py).
 void space_to_depth2_u8(const std::uint8_t* src, int h, int w,
                         std::uint8_t* dst) {
-  PH_TRACE_SCOPE("s2d");
+  PH_TRACE_SCOPE("s2d2");
   const int wo = w / 4;
   for (int y = 0; y < (h / 4) * 4; ++y) {
     const int I = y / 4, vy = (y / 2) % 2, wy = y % 2;

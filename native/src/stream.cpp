@@ -69,6 +69,8 @@ class StreamLoader {
     if (collector_.joinable()) collector_.join();
   }
 
+  int s2d_level() const { return s2d_; }
+
   // Returns frames copied into out (0 at end of stream).
   int next(std::uint8_t* out_pixels, float* out_scales, float* out_pads,
            std::int32_t* out_indices) {
@@ -182,6 +184,13 @@ void ph_s2d_u8(const std::uint8_t* src, int h, int w, std::uint8_t* dst) {
 
 void ph_s2d2_u8(const std::uint8_t* src, int h, int w, std::uint8_t* dst) {
   pose_host::space_to_depth2_u8(src, h, w, dst);
+}
+
+// Effective space-to-depth level the loader will emit (after geometry
+// demotion) — the binding reads this back instead of re-deriving the
+// demotion rules, so the buffer-shape contract has one source of truth.
+int ph_stream_level(void* handle) {
+  return static_cast<pose_host::StreamLoader*>(handle)->s2d_level();
 }
 
 int ph_stream_next(void* handle, std::uint8_t* out_pixels, float* out_scales,

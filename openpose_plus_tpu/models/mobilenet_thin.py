@@ -48,9 +48,7 @@ class MobileNetThinPose(nn.Module):
         mod4 = x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0
         even = x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
         deep = (self.cfg.stem_s2d and d != "int8"
-                and (c == 48 or (c == 3 and mod4)
-                     or (c == 12 and x.shape[1] % 2 == 0
-                         and x.shape[2] % 2 == 0)))
+                and (c == 48 or (c == 3 and mod4) or (c == 12 and even)))
         if deep:
             if c == 3:
                 x = common.space_to_depth(common.space_to_depth(x))
@@ -63,10 +61,15 @@ class MobileNetThinPose(nn.Module):
             x = common.SepConvRelu(_w(w, 128), stride=2, compute_dtype=d,
                                    s2d_space=True, name="dw2")(x)  # plain
         else:
-            if c == 48:
+            if c == 48 or (c == 12 and d == "int8"):
                 raise ValueError(
-                    "s2d^2 input needs stem_s2d and a float compute mode")
-            if self.cfg.stem_s2d and (even or c == 12):
+                    "space-to-depth input layouts need stem_s2d and a "
+                    "float compute mode; feed plain (B, H, W, 3) images")
+            # int8 keeps the plain ConvRelu stem: it owns the quantized
+            # conv1 path and its calib act_scale (StemConvRelu is
+            # float-only, and swapping it in would silently change the
+            # int8 numerics AND the calib tree structure).
+            if self.cfg.stem_s2d and d != "int8" and (even or c == 12):
                 x = common.StemConvRelu(_w(w, 32), compute_dtype=d,
                                         name="conv1")(x)  # stride 2
             else:

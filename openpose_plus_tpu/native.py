@@ -58,6 +58,9 @@ def _load(build_if_missing: bool = True) -> Optional[ctypes.CDLL]:
         lib.ph_s2d_u8.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                   ctypes.c_int, ctypes.c_void_p]
         lib.ph_s2d2_u8.argtypes = lib.ph_s2d_u8.argtypes
+        if hasattr(lib, "ph_stream_level"):
+            lib.ph_stream_level.restype = ctypes.c_int
+            lib.ph_stream_level.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -67,6 +70,10 @@ def s2d_u8(image: np.ndarray) -> np.ndarray:
     engine's fast input format; models/common.py space_to_depth). Uses the
     native permutation when available, numpy otherwise."""
     h, w, _ = image.shape
+    if h % 2 or w % 2:
+        # fail loudly on BOTH paths (the C++ loop would silently drop the
+        # trailing row/column; the numpy reshape would raise differently)
+        raise ValueError(f"space-to-depth needs even dims, got {h}x{w}")
     lib = _load()
     if lib is not None and hasattr(lib, "ph_s2d_u8"):
         image = np.ascontiguousarray(image, np.uint8)
@@ -83,6 +90,9 @@ def s2d2_u8(image: np.ndarray) -> np.ndarray:
     """(H, W, 3) uint8 -> (H/4, W/4, 48): space-to-depth applied twice —
     the engine's fastest input layout (deep-s2d stem; models/common.py)."""
     h, w, _ = image.shape
+    if h % 4 or w % 4:
+        raise ValueError(
+            f"space-to-depth squared needs dims % 4 == 0, got {h}x{w}")
     lib = _load()
     if lib is not None and hasattr(lib, "ph_s2d2_u8"):
         image = np.ascontiguousarray(image, np.uint8)
@@ -159,26 +169,23 @@ class NativeStreamLoader:
                 "libpose_host.so unavailable; run `make -C native`")
         self._lib = lib
         self.hin, self.win, self.batch = hin, win, batch
-        # s2d level: 0 plain, 1 (hin/2,win/2,12), 2 (hin/4,win/4,48);
-        # demoted when the geometry or an old prebuilt .so disallows it.
-        s2d = int(s2d)
-        if not hasattr(lib, "ph_stream_create2"):
-            s2d = 0
-        if s2d >= 2 and not (hin % 4 == 0 and win % 4 == 0):
-            s2d = 1
-        if s2d >= 1 and not (hin % 2 == 0 and win % 2 == 0):
-            s2d = 0
-        self.s2d = s2d
+        # s2d level: 0 plain, 1 (hin/2,win/2,12), 2 (hin/4,win/4,48).
+        # The C++ loader demotes the requested level when the geometry
+        # disallows it; the EFFECTIVE level is read back from the handle
+        # (single source of truth for the buffer-shape contract).
         arr = (ctypes.c_char_p * len(paths))(
             *[p.encode() for p in paths])
-        if hasattr(lib, "ph_stream_create2"):
+        if hasattr(lib, "ph_stream_create2") and hasattr(lib,
+                                                         "ph_stream_level"):
             self._handle = lib.ph_stream_create2(
                 arr, len(paths), hin, win, batch, workers, queue_capacity,
-                int(loop), self.s2d)
-        else:
+                int(loop), int(s2d))
+            self.s2d = int(lib.ph_stream_level(self._handle))
+        else:  # stale prebuilt .so: v1 API, plain layout only
             self._handle = lib.ph_stream_create(
                 arr, len(paths), hin, win, batch, workers, queue_capacity,
                 int(loop))
+            self.s2d = 0
 
     def __iter__(self) -> Iterator[dict]:
         shape = {0: (self.batch, self.hin, self.win, 3),

@@ -144,3 +144,15 @@ def test_train_rejects_int8():
         cfg.model, compute_dtype="int8"))
     with pytest.raises(ValueError, match="int8"):
         create_train_state(cfg, jax.random.PRNGKey(0))
+
+
+def test_int8_keeps_quantized_conv1_with_stem_s2d_default():
+    """stem_s2d (default True) must not reroute int8's conv1 away from
+    the quantized ConvRelu path: the calib tree keeps conv1/act_scale and
+    old int8 checkpoints stay structurally loadable."""
+    cfg = default_config("mobilenet_thin")
+    cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, hin=96, win=112, compute_dtype="int8"))
+    assert cfg.model.stem_s2d
+    eng = Engine(cfg, seed=0)
+    assert "conv1" in eng.params["calib"]
