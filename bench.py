@@ -157,6 +157,9 @@ def main() -> None:
         # bandwidth-bound and regresses under int8 (measured; see README)
         bench_engine("e2e_fps_vgg19_int8_368x656_bs8", "vgg19",
                      368, 656, 8, dtype="int8")
+        # rest of the model zoo (reference models_vggtiny / hao28)
+        bench_engine("e2e_fps_vggtiny_368x656_bs8", "vggtiny", 368, 656, 8)
+        bench_engine("e2e_fps_hao28_368x656_bs8", "hao28", 368, 656, 8)
     finally:
         with open(os.path.join(here, "bench_details.json"), "w") as f:
             json.dump(results, f, indent=2)

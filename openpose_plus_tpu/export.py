@@ -25,8 +25,14 @@ _MANIFEST = "manifest.json"
 _ARTIFACT = "engine.stablehlo.bin"
 
 
-def save_engine(engine: Engine, path: str, batch_size: int = 1) -> None:
-    """Export the engine for a fixed batch size to `path/` (dir)."""
+def save_engine(engine: Engine, path: str, batch_size: int = 1,
+                input_layout: str = "plain") -> None:
+    """Export the engine for a fixed batch size to `path/` (dir).
+
+    input_layout: "plain" (B,hin,win,3), "s2d" (B,hin/2,win/2,12) or
+    "s2d2" (B,hin/4,win/4,48) — the space-to-depth layouts the host
+    loader emits (Engine.compile docstring); baked into the artifact's
+    input signature and recorded in the manifest."""
     from jax import export as jexport
 
     if engine._needs_calibration():
@@ -35,7 +41,11 @@ def save_engine(engine: Engine, path: str, batch_size: int = 1) -> None:
             "scales would be frozen at zero. Call Engine.calibrate() on "
             "representative images first.")
     m = engine.config.model
-    spec = jax.ShapeDtypeStruct((batch_size, m.hin, m.win, 3), jnp.uint8)
+    shape = {"plain": (batch_size, m.hin, m.win, 3),
+             "s2d": (batch_size, m.hin // 2, m.win // 2, 12),
+             "s2d2": (batch_size, m.hin // 4, m.win // 4, 48),
+             }[input_layout]
+    spec = jax.ShapeDtypeStruct(shape, jnp.uint8)
 
     # Close over the params so the artifact is self-contained (frozen
     # graph semantics — no Python model code needed at load time). The
@@ -60,6 +70,7 @@ def save_engine(engine: Engine, path: str, batch_size: int = 1) -> None:
             "batch_size": batch_size,
             "hin": m.hin,
             "win": m.win,
+            "input_layout": input_layout,
             "format": "jax.export/StableHLO",
             "platforms": list(exported.platforms),
             # full config so ExportedEngine.config reports what the

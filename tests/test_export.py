@@ -27,3 +27,28 @@ def test_export_roundtrip(tmp_path, rng):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(a.score), np.asarray(b.score),
                                atol=1e-5)
+
+
+def test_export_s2d2_layout_roundtrip(tmp_path, rng):
+    """Artifacts can bake the space-to-depth-squared input signature; the
+    loaded engine then consumes exactly what the host loader emits."""
+    from openpose_plus_tpu.models.common import space_to_depth
+
+    import jax.numpy as jnp
+
+    cfg = default_config("mobilenet_thin")
+    cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, hin=64, win=64, n_stages=2, compute_dtype="float32"))
+    eng = Engine(cfg)
+    path = str(tmp_path / "artifact_s2d2")
+    E.save_engine(eng, path, batch_size=2, input_layout="s2d2")
+    loaded = E.load_engine(path)
+    assert loaded.manifest["input_layout"] == "s2d2"
+    images = rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8)
+    images_q2 = np.asarray(space_to_depth(space_to_depth(
+        jnp.asarray(images))))
+    a = eng.infer(images)
+    b = loaded.infer(images_q2)
+    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+    np.testing.assert_allclose(np.asarray(a.coords), np.asarray(b.coords),
+                               atol=1e-5)
