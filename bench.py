@@ -101,15 +101,16 @@ def main() -> None:
         cfg = cfg.replace(model=dataclasses.replace(
             cfg.model, hin=hin, win=win, compute_dtype=dtype))
         eng = Engine(cfg, fast_init=True)
+        # Engine input layouts of record (what the host loader emits for
+        # each model): s2d² for the deep-s2d MobileNet stem, s2d for the
+        # VGG-family block-grid stems, plain for int8 (common.py).
         m = cfg.model
-        if (model == "mobilenet_thin" and m.stem_s2d and dtype != "int8"
+        flt = m.stem_s2d and dtype != "int8"
+        if (model == "mobilenet_thin" and flt
                 and hin % 4 == 0 and win % 4 == 0):
-            # Engine input layout of record for this model: space-to-depth
-            # squared uint8 (B, hin/4, win/4, 48) — the same bytes
-            # block-permuted, emitted for free by the host loader during
-            # letterbox; the whole stride-2 region then runs as dense
-            # MXU-shaped convs on the block grid (common.py deep-s2d).
             shape = (batch, hin // 4, win // 4, 48)
+        elif flt and hin % 2 == 0 and win % 2 == 0:
+            shape = (batch, hin // 2, win // 2, 12)
         else:
             shape = (batch, hin, win, 3)
         images = jax.device_put(jnp.asarray(rng.integers(

@@ -239,6 +239,70 @@ def _pw_s2d_kernel(pwk: jax.Array, c: int, f: int) -> jax.Array:
     return e.reshape(1, 1, 4 * c, 4 * f)
 
 
+def _s1_s2d_kernel(kernel: jax.Array) -> jax.Array:
+    """(3,3,cin,cout) k3-STRIDE-1 kernel -> (3,3,4cin,4cout) on the block
+    grid, position-MAJOR channels on both sides (ch = pos*C + c): output
+    row 2I+uy reads rows 2I+uy-1..+1 = block rows I-1..I+1, pad 1."""
+    cin, cout = kernel.shape[2], kernel.shape[3]
+    ind = np.zeros((3, 3, 4, 4, 3, 3), np.float32)
+    for P in range(3):
+        for Q in range(3):
+            for uy, ux, vy, vx in np.ndindex(2, 2, 2, 2):
+                ky = 2 * P + vy - uy - 1
+                kx = 2 * Q + vx - ux - 1
+                if 0 <= ky < 3 and 0 <= kx < 3:
+                    ind[P, Q, vy * 2 + vx, uy * 2 + ux, ky, kx] = 1.0
+    k = jnp.einsum("PQiukl,klcd->PQicud", jnp.asarray(ind), kernel)
+    return k.reshape(3, 3, 4 * cin, 4 * cout)
+
+
+def s2d_maxpool_to_plain(x: jax.Array, c: int) -> jax.Array:
+    """2x2 stride-2 maxpool of the underlying image, computed on a
+    pos-major s2d-layout tensor as the max over its 4 contiguous position
+    chunks — EXACT (each block holds one pool window) and free (no
+    depth-to-space, and the chunk maxes fuse into the producer)."""
+    p = x[..., :c]
+    for i in range(1, 4):
+        p = jnp.maximum(p, x[..., i * c:(i + 1) * c])
+    return p
+
+
+class S2DConvRelu(nn.Module):
+    """3x3 STRIDE-1 conv + ReLU on the space-to-depth block grid.
+
+    Parameter-compatible with ConvRelu (same "kernel"/"bias" names and
+    shapes). Input and output are pos-major s2d layouts (4*cin / 4*cout
+    channels); the raw s2d image (B,H/2,W/2,12) is already pos-major, so
+    the first stem conv consumes it directly. The dense rearranged kernel
+    does 4x structurally-zero FLOPs — a clear win where the plain conv is
+    lane-starved (3..32-channel VGG stems run at ~10-15% MXU; measured
+    2.5x on the whole conv1 block at C=32 — scripts/profile_vgg_stem.py),
+    roughly neutral by C=64. Followed by s2d_maxpool_to_plain, the usual
+    VGG conv1 block [conv, conv, pool2] never materializes the full-res
+    grid at all.
+    """
+
+    features: int
+    in_channels: int
+    compute_dtype: str = "bfloat16"
+
+    @nn.compact
+    def __call__(self, x):
+        cin = self.in_channels
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, cin, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        if x.shape[-1] != 4 * cin:
+            raise ValueError(
+                f"S2DConvRelu expects {4 * cin} channels, got {x.shape}")
+        dt = _dtype(self.compute_dtype)
+        y = jax.lax.conv_general_dilated(
+            x.astype(dt), _s1_s2d_kernel(kernel).astype(dt), (1, 1),
+            [(1, 1), (1, 1)], dimension_numbers=_DN)
+        return nn.relu(y + jnp.tile(bias, 4).astype(dt))
+
+
 class StemConvRelu(nn.Module):
     """3x3 stride-2 stem conv + ReLU, lowered via space-to-depth.
 
@@ -462,8 +526,28 @@ class MultiStageHead(nn.Module):
 
 
 def vgg_block(x, features: Sequence[int], compute_dtype: str, prefix: str,
-              pool: bool = True):
-    """n stacked 3x3 conv+relu, optional 2x2 max pool."""
+              pool: bool = True, s2d_stem: bool = False):
+    """n stacked 3x3 conv+relu, optional 2x2 max pool.
+
+    s2d_stem runs the whole block on the space-to-depth grid (same
+    params, rearranged at trace time — see S2DConvRelu) and pools via the
+    free channel-chunk max; accepts a plain even-dim input (s2d applied
+    on device) or a pre-transformed (B, H/2, W/2, 12) one. Used for the
+    lane-starved conv1 blocks of the VGG-family models.
+    """
+    if s2d_stem:
+        assert pool, "s2d_stem emits the pooled plain grid"
+        if x.shape[-1] == 3:
+            x = space_to_depth(x)
+        elif x.shape[-1] != 12:
+            raise ValueError(f"s2d_stem expects an RGB image (plain or "
+                             f"s2d layout), got {x.shape}")
+        cin = 3
+        for i, f in enumerate(features):
+            x = S2DConvRelu(f, in_channels=cin, compute_dtype=compute_dtype,
+                            name=f"{prefix}_{i + 1}")(x)
+            cin = f
+        return s2d_maxpool_to_plain(x, features[-1])
     for i, f in enumerate(features):
         x = ConvRelu(f, compute_dtype=compute_dtype,
                      name=f"{prefix}_{i + 1}")(x)

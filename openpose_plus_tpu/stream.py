@@ -46,12 +46,13 @@ class StreamEstimator:
         # (dims % 4 == 0) additionally runs the whole stride-2 region as
         # dense block-grid convs (deep-s2d lowering, models/common.py).
         m = engine.config.model
-        if (m.name == "mobilenet_thin" and m.stem_s2d
-                and m.compute_dtype != "int8"
+        flt = m.stem_s2d and m.compute_dtype != "int8"
+        if (m.name == "mobilenet_thin" and flt
                 and m.hin % 4 == 0 and m.win % 4 == 0):
             self.s2d = 2
-        elif (m.name == "mobilenet_thin" and m.stem_s2d
-                and m.hin % 2 == 0 and m.win % 2 == 0):
+        elif flt and m.hin % 2 == 0 and m.win % 2 == 0:
+            # every model's stem consumes the level-1 layout directly
+            # (mobilenet StemConvRelu / VGG-family S2DConvRelu)
             self.s2d = 1
         else:
             self.s2d = 0

@@ -132,3 +132,26 @@ def test_stem_s2d_grads_match_plain_conv():
         np.testing.assert_allclose(np.asarray(gb) / scale,
                                    np.asarray(ga) / scale, atol=5e-4,
                                    err_msg=str(path))
+
+
+@pytest.mark.parametrize("name", ["vggtiny", "hao28", "vgg19"])
+def test_vgg_family_s2d_stem_matches_plain(name):
+    """The VGG-family conv1 block on the space-to-depth grid (dense
+    rearranged kernels + channel-max pool) equals the plain lowering,
+    from both the plain and the (B, H/2, W/2, 12) input layouts."""
+    from openpose_plus_tpu.models.common import space_to_depth
+
+    mk = lambda s2d: ModelConfig(name=name, hin=64, win=96, n_stages=2,
+                                 compute_dtype="float32", stem_s2d=s2d)
+    x = jnp.asarray(np.random.default_rng(7).standard_normal(
+        (2, 64, 96, 3)), jnp.float32)
+    m_plain, m_s2d = get_model(mk(False)), get_model(mk(True))
+    params = m_plain.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_structure(params) == jax.tree_util.
+            tree_structure(m_s2d.init(jax.random.PRNGKey(0), x)))
+    ref = m_plain.apply(params, x)
+    for got in (m_s2d.apply(params, x),
+                m_s2d.apply(params, space_to_depth(x))):
+        np.testing.assert_allclose(np.asarray(got["conf"][-1]),
+                                   np.asarray(ref["conf"][-1]), rtol=2e-5,
+                                   atol=1e-5)
