@@ -101,18 +101,13 @@ def main() -> None:
         cfg = cfg.replace(model=dataclasses.replace(
             cfg.model, hin=hin, win=win, compute_dtype=dtype))
         eng = Engine(cfg, fast_init=True)
-        # Engine input layouts of record (what the host loader emits for
-        # each model): s2d² for the deep-s2d MobileNet stem, s2d for the
-        # VGG-family block-grid stems, plain for int8 (common.py).
-        m = cfg.model
-        flt = m.stem_s2d and dtype != "int8"
-        if (model == "mobilenet_thin" and flt
-                and hin % 4 == 0 and win % 4 == 0):
-            shape = (batch, hin // 4, win // 4, 48)
-        elif flt and hin % 2 == 0 and win % 2 == 0:
-            shape = (batch, hin // 2, win // 2, 12)
-        else:
-            shape = (batch, hin, win, 3)
+        # Engine input layout of record = what the host loader emits for
+        # this model (s2d² for the deep-s2d MobileNet stem, s2d for the
+        # VGG-family block-grid stems, plain for int8 — common.py).
+        level = cfg.model.preferred_input_layout()
+        shape = {0: (batch, hin, win, 3),
+                 1: (batch, hin // 2, win // 2, 12),
+                 2: (batch, hin // 4, win // 4, 48)}[level]
         images = jax.device_put(jnp.asarray(rng.integers(
             0, 255, shape, dtype=np.uint8)))
         eng.calibrate(images)  # no-op for float modes

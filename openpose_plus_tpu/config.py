@@ -51,6 +51,23 @@ class ModelConfig:
     # hardware where the crossover differs.
     fused_inference: bool = False
 
+    def preferred_input_layout(self) -> int:
+        """Space-to-depth level of the model's fastest uint8 input layout:
+        0 = plain (B,hin,win,3), 1 = (B,hin/2,win/2,12),
+        2 = (B,hin/4,win/4,48). The host sides (stream loader, train
+        pipeline, bench) emit this; the stems consume it directly
+        (models/common.py). int8 keeps plain (quantized conv1 path)."""
+        if not self.stem_s2d or self.compute_dtype == "int8":
+            return 0
+        if (self.name in ("mobilenet_thin", "mobilenet")
+                and self.hin % 4 == 0 and self.win % 4 == 0):
+            return 2
+        if (self.name in ("mobilenet_thin", "vggtiny", "hao28", "vgg19",
+                          "vgg", "mobilenet")
+                and self.hin % 2 == 0 and self.win % 2 == 0):
+            return 1
+        return 0
+
     @property
     def hout(self) -> int:
         return self.hin // self.stride

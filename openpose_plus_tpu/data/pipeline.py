@@ -36,7 +36,13 @@ def _load_image(path: str) -> np.ndarray:
 class TrainPipeline:
     """Infinite shuffled batch stream: {'images', 'keypoints', 'mask'}.
 
-    images:    (B, hin, win, 3) uint8
+    images:    (B, hin, win, 3) uint8 — or the model's space-to-depth
+               input layout ((B, hin/2, win/2, 12) / (B, hin/4, win/4, 48))
+               when its stem consumes one: the workers permute the bytes
+               on the host, saving the train step ~1.2 ms/step of
+               on-device relayout copies (measured in a device trace;
+               docs/ARCHITECTURE.md). Keypoint coords are unaffected
+               (they live in network-input pixel space, not the layout).
     keypoints: (B, max_people, 18, 3) float32, network-input pixel coords
     mask:      (B, hout, wout, 1) float32 loss mask
     """
@@ -54,6 +60,7 @@ class TrainPipeline:
         self._q: queue.Queue = queue.Queue(maxsize=config.data.prefetch)
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
+        self.s2d = config.model.preferred_input_layout()
         self._started = False
         self._error: Optional[BaseException] = None
         self._bad_paths: set[str] = set()
@@ -128,7 +135,16 @@ class TrainPipeline:
                 try:
                     aug = A.augment_sample(img, s.keypoints, s.ignore_mask(),
                                            self.cfg.data, m.hin, m.win, rng)
-                    images.append(aug.image)
+                    if self.s2d == 2:
+                        from openpose_plus_tpu import native
+
+                        images.append(native.s2d2_u8(aug.image))
+                    elif self.s2d == 1:
+                        from openpose_plus_tpu import native
+
+                        images.append(native.s2d_u8(aug.image))
+                    else:
+                        images.append(aug.image)
                     kps.append(pad_keypoints(aug.keypoints, self.max_people))
                     small = cv2.resize(aug.mask, (m.wout, m.hout),
                                        interpolation=cv2.INTER_AREA)

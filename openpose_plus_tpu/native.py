@@ -109,6 +109,24 @@ def s2d2_u8(image: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(once(once(image)))
 
 
+def d2s_u8(image: np.ndarray) -> np.ndarray:
+    """Inverse of s2d_u8 / s2d2_u8 by channel count (3: identity, 12: one
+    level, 48: two levels) -> plain (H, W, 3). Host-side rendering helper
+    (numpy; not a hot path)."""
+    def once(a):
+        hh, ww, c4 = a.shape
+        a = a.reshape(hh, ww, 2, 2, c4 // 4).transpose(0, 2, 1, 3, 4)
+        return a.reshape(2 * hh, 2 * ww, c4 // 4)
+
+    if image.shape[-1] == 48:
+        image = once(image)
+    if image.shape[-1] == 12:
+        image = once(image)
+    if image.shape[-1] != 3:
+        raise ValueError(f"unexpected channel count {image.shape}")
+    return np.ascontiguousarray(image)
+
+
 def is_available() -> bool:
     return _load() is not None
 

@@ -45,17 +45,7 @@ class StreamEstimator:
         # during letterbox, the device skips the stem relayout. Level 2
         # (dims % 4 == 0) additionally runs the whole stride-2 region as
         # dense block-grid convs (deep-s2d lowering, models/common.py).
-        m = engine.config.model
-        flt = m.stem_s2d and m.compute_dtype != "int8"
-        if (m.name == "mobilenet_thin" and flt
-                and m.hin % 4 == 0 and m.win % 4 == 0):
-            self.s2d = 2
-        elif flt and m.hin % 2 == 0 and m.win % 2 == 0:
-            # every model's stem consumes the level-1 layout directly
-            # (mobilenet StemConvRelu / VGG-family S2DConvRelu)
-            self.s2d = 1
-        else:
-            self.s2d = 0
+        self.s2d = engine.config.model.preferred_input_layout()
 
     def run_files(self, paths: Sequence[str], loop: bool = False
                   ) -> Iterator[StreamResult]:

@@ -307,7 +307,10 @@ def _dump_vis(config: Config, state: TrainState, batch, step: int) -> None:
     pred = np.asarray(out["conf"][-1][0], np.float32)
     gt, _ = make_targets_batch(batch["keypoints"][:1], config.model,
                                config.data)
-    img = np.asarray(images[0], np.uint8)[:, :, ::-1]  # RGB -> BGR
+    from openpose_plus_tpu.native import d2s_u8
+
+    # pipeline may ship images in a space-to-depth layout; render plain
+    img = d2s_u8(np.asarray(images[0], np.uint8))[:, :, ::-1]  # RGB->BGR
     os.makedirs(config.train.vis_dir, exist_ok=True)
     cv2.imwrite(os.path.join(config.train.vis_dir, f"step{step}_pred.jpg"),
                 draw_maps_overlay(img, pred))

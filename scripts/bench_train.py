@@ -62,9 +62,15 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     max_people = 8
+    # images in the model's preferred input layout — exactly what the
+    # train pipeline ships (host-side space-to-depth; data/pipeline.py)
+    level = cfg.model.preferred_input_layout()
+    img_shape = {0: (args.batch, args.hin, args.win, 3),
+                 1: (args.batch, args.hin // 2, args.win // 2, 12),
+                 2: (args.batch, args.hin // 4, args.win // 4, 48)}[level]
     batch = {
         "images": jnp.asarray(rng.integers(
-            0, 255, (args.batch, args.hin, args.win, 3), dtype=np.uint8)),
+            0, 255, img_shape, dtype=np.uint8)),
         "keypoints": jnp.asarray(np.concatenate([
             rng.uniform(0, args.win, (args.batch, max_people, 18, 1)),
             rng.uniform(0, args.hin, (args.batch, max_people, 18, 1)),

@@ -211,3 +211,11 @@ def test_stream_loader_s2d2_layout(image_dir):
             np.testing.assert_array_equal(
                 img, native.s2d2_u8(by_idx[int(b["indices"][i])]))
     loader.close()
+
+
+def test_d2s_u8_inverts_both_levels():
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (64, 96, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(native.d2s_u8(native.s2d_u8(img)), img)
+    np.testing.assert_array_equal(native.d2s_u8(native.s2d2_u8(img)), img)
+    np.testing.assert_array_equal(native.d2s_u8(img), img)
