@@ -99,6 +99,7 @@ def main() -> int:
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--eval-limit", type=int, default=32)
+    ap.add_argument("--model", default="vggtiny")
     args = ap.parse_args()
 
     import jax
@@ -112,7 +113,7 @@ def main() -> int:
     workdir = args.workdir or tempfile.mkdtemp(prefix="synth_e2e_")
     ann, imgs = make_synthetic_dataset(workdir, args.n_images, args.size)
 
-    cfg = default_config("vggtiny")
+    cfg = default_config(args.model)
     cfg = cfg.replace(
         model=dataclasses.replace(cfg.model, hin=args.hin, win=args.hin,
                                   n_stages=3),
