@@ -104,10 +104,7 @@ def main() -> None:
         # Engine input layout of record = what the host loader emits for
         # this model (s2d² for the deep-s2d MobileNet stem, s2d for the
         # VGG-family block-grid stems, plain for int8 — common.py).
-        level = cfg.model.preferred_input_layout()
-        shape = {0: (batch, hin, win, 3),
-                 1: (batch, hin // 2, win // 2, 12),
-                 2: (batch, hin // 4, win // 4, 48)}[level]
+        shape = cfg.model.input_shape(batch)
         images = jax.device_put(jnp.asarray(rng.integers(
             0, 255, shape, dtype=np.uint8)))
         eng.calibrate(images)  # no-op for float modes

@@ -281,9 +281,11 @@ def cmd_export(args) -> int:
                 img = loaded[0]
             imgs.append(img)
         eng.calibrate(np.stack(imgs))
-    save_engine(eng, args.out, batch_size=args.batch)
+    save_engine(eng, args.out, batch_size=args.batch,
+                input_layout=args.input_layout)
     print(json.dumps({"out": args.out, "model": args.model,
-                      "batch_size": args.batch}))
+                      "batch_size": args.batch,
+                      "input_layout": args.input_layout}))
     return 0
 
 
@@ -351,6 +353,12 @@ def main(argv: Optional[list[str]] = None) -> int:
     p.add_argument("--calib-images", nargs="+", default=None,
                    help="representative images for --int8 export "
                         "(activation scales are frozen into the artifact)")
+    p.add_argument("--input-layout", default="plain",
+                   choices=["plain", "s2d", "s2d2"],
+                   help="input signature baked into the artifact (the "
+                        "space-to-depth layouts the host loader emits); "
+                        "loaded artifacts still accept plain images and "
+                        "permute on the host")
 
     args, extra = parser.parse_known_args(argv)
     if args.cmd == "train":

@@ -56,17 +56,28 @@ class ModelConfig:
         0 = plain (B,hin,win,3), 1 = (B,hin/2,win/2,12),
         2 = (B,hin/4,win/4,48). The host sides (stream loader, train
         pipeline, bench) emit this; the stems consume it directly
-        (models/common.py). int8 keeps plain (quantized conv1 path)."""
+        (models/common.py). int8 keeps plain (quantized conv1 path).
+        Every current zoo model has an s2d-capable stem, so the gate is
+        geometry + dtype, not a name list (registry aliases included)."""
         if not self.stem_s2d or self.compute_dtype == "int8":
             return 0
         if (self.name in ("mobilenet_thin", "mobilenet")
                 and self.hin % 4 == 0 and self.win % 4 == 0):
             return 2
-        if (self.name in ("mobilenet_thin", "vggtiny", "hao28", "vgg19",
-                          "vgg", "mobilenet")
-                and self.hin % 2 == 0 and self.win % 2 == 0):
+        if self.hin % 2 == 0 and self.win % 2 == 0:
             return 1
         return 0
+
+    def input_shape(self, batch: int, level: int | None = None
+                    ) -> tuple[int, int, int, int]:
+        """uint8 input shape for a space-to-depth level (default: the
+        model's preferred layout) — the ONE place the level-to-shape rule
+        lives (bench, train bench, Engine.compile, export all use it)."""
+        if level is None:
+            level = self.preferred_input_layout()
+        return {0: (batch, self.hin, self.win, 3),
+                1: (batch, self.hin // 2, self.win // 2, 12),
+                2: (batch, self.hin // 4, self.win // 4, 48)}[level]
 
     @property
     def hout(self) -> int:

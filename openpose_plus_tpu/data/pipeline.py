@@ -61,6 +61,13 @@ class TrainPipeline:
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
         self.s2d = config.model.preferred_input_layout()
+        if self.s2d:
+            from openpose_plus_tpu import native
+
+            self._pack = (native.s2d2_u8 if self.s2d == 2
+                          else native.s2d_u8)
+        else:
+            self._pack = lambda a: a
         self._started = False
         self._error: Optional[BaseException] = None
         self._bad_paths: set[str] = set()
@@ -135,16 +142,7 @@ class TrainPipeline:
                 try:
                     aug = A.augment_sample(img, s.keypoints, s.ignore_mask(),
                                            self.cfg.data, m.hin, m.win, rng)
-                    if self.s2d == 2:
-                        from openpose_plus_tpu import native
-
-                        images.append(native.s2d2_u8(aug.image))
-                    elif self.s2d == 1:
-                        from openpose_plus_tpu import native
-
-                        images.append(native.s2d_u8(aug.image))
-                    else:
-                        images.append(aug.image)
+                    images.append(self._pack(aug.image))
                     kps.append(pad_keypoints(aug.keypoints, self.max_people))
                     small = cv2.resize(aug.mask, (m.wout, m.hout),
                                        interpolation=cv2.INTER_AREA)

@@ -37,6 +37,28 @@ def preprocess_images(images: jax.Array) -> jax.Array:
     return images.astype(jnp.float32) / 255.0 - 0.5
 
 
+INPUT_LAYOUTS = ("plain", "s2d", "s2d2")
+
+
+def check_input_layout(model_cfg, input_layout: str) -> int:
+    """Validate a named input layout against the model's geometry and
+    supported lowerings; returns the s2d level. Rejects layouts the stem
+    cannot consume (e.g. s2d2 on a VGG-family model, s2d on odd dims, any
+    s2d in int8 mode) instead of silently flooring dimensions."""
+    try:
+        level = INPUT_LAYOUTS.index(input_layout)
+    except ValueError:
+        raise ValueError(f"input_layout must be one of {INPUT_LAYOUTS}, "
+                         f"got {input_layout!r}") from None
+    if level > model_cfg.preferred_input_layout():
+        raise ValueError(
+            f"input_layout {input_layout!r} is not supported by model "
+            f"{model_cfg.name!r} at {model_cfg.hin}x{model_cfg.win} "
+            f"({model_cfg.compute_dtype}); max supported level is "
+            f"{INPUT_LAYOUTS[model_cfg.preferred_input_layout()]!r}")
+    return level
+
+
 class Engine:
     """End-to-end pose estimator.
 
@@ -189,11 +211,8 @@ class Engine:
         compile cache). input_layout: "plain" (B,hin,win,3), "s2d"
         (B,hin/2,win/2,12) or "s2d2" (B,hin/4,win/4,48) — the
         space-to-depth layouts the host loader can emit."""
-        m = self.config.model
-        shape = {"plain": (batch_size, m.hin, m.win, 3),
-                 "s2d": (batch_size, m.hin // 2, m.win // 2, 12),
-                 "s2d2": (batch_size, m.hin // 4, m.win // 4, 48),
-                 }[input_layout]
+        shape = self.config.model.input_shape(
+            batch_size, check_input_layout(self.config.model, input_layout))
         self._infer.lower(self.params,
                           jax.ShapeDtypeStruct(shape, jnp.uint8)).compile()
 

@@ -40,11 +40,10 @@ def save_engine(engine: Engine, path: str, batch_size: int = 1,
             "int8 engine exported before calibration: the activation "
             "scales would be frozen at zero. Call Engine.calibrate() on "
             "representative images first.")
+    from openpose_plus_tpu.engine import check_input_layout
+
     m = engine.config.model
-    shape = {"plain": (batch_size, m.hin, m.win, 3),
-             "s2d": (batch_size, m.hin // 2, m.win // 2, 12),
-             "s2d2": (batch_size, m.hin // 4, m.win // 4, 48),
-             }[input_layout]
+    shape = m.input_shape(batch_size, check_input_layout(m, input_layout))
     spec = jax.ShapeDtypeStruct(shape, jnp.uint8)
 
     # Close over the params so the artifact is self-contained (frozen
@@ -82,11 +81,14 @@ def save_engine(engine: Engine, path: str, batch_size: int = 1,
 
 
 class ExportedEngine:
-    """Loaded artifact: infer(images u8 (B, hin, win, 3)) -> HumanBatch.
+    """Loaded artifact: infer(images u8) -> HumanBatch.
 
     Duck-types the slice of Engine the CLI apps use (`infer`, `config`), so
     `pose infer --engine-dir ...` can run a frozen artifact with no model
-    code — the reference's deploy-the-.uff workflow.
+    code — the reference's deploy-the-.uff workflow. Accepts plain
+    (B, hin, win, 3) images regardless of the artifact's baked
+    input_layout — the host-side space-to-depth permute is applied here
+    when the signature needs it — or the already-permuted layout directly.
     """
 
     def __init__(self, path: str):
@@ -118,6 +120,13 @@ class ExportedEngine:
         return int(self.manifest["batch_size"])
 
     def infer(self, images: np.ndarray | jax.Array) -> HumanBatch:
+        layout = self.manifest.get("input_layout", "plain")
+        if layout != "plain" and images.shape[-1] == 3:
+            from openpose_plus_tpu import native
+
+            pack = native.s2d2_u8 if layout == "s2d2" else native.s2d_u8
+            images = np.stack([pack(np.asarray(f, np.uint8))
+                               for f in images])
         out = self._call(jnp.asarray(images))
         return HumanBatch(**out)
 

@@ -196,10 +196,11 @@ def _stem_s2d2_kernel(kernel: jax.Array, cin: int, cout: int) -> jax.Array:
     return k.reshape(2, 2, 16 * cin, cout * 4)
 
 
-def _dw_s2d_kernel(dwk: jax.Array, c: int) -> jax.Array:
-    """Depthwise (3,3,1,c) s1 -> dense (3,3,4c,4c) on the s2d grid
-    (channel m*4+pos): out row 2I+uy reads rows 2I+uy-1..+1, i.e. block
-    rows I-1..I+1 — a 3x3 block window with pad 1."""
+def _s1_block_indicator() -> np.ndarray:
+    """(3,3, in-pos, out-pos, ky, kx) 0/1 geometry of a 3x3 STRIDE-1 conv
+    on the 2x2 block grid (shared by every s1 deep-s2d lowering): output
+    row 2I+uy reads rows 2I+uy-1..+1 = block rows I-1..I+1, pad 1, with
+    tap ky = 2P + vy - uy - 1."""
     ind = np.zeros((3, 3, 4, 4, 3, 3), np.float32)
     for P in range(3):
         for Q in range(3):
@@ -208,6 +209,13 @@ def _dw_s2d_kernel(dwk: jax.Array, c: int) -> jax.Array:
                 kx = 2 * Q + vx - ux - 1
                 if 0 <= ky < 3 and 0 <= kx < 3:
                     ind[P, Q, vy * 2 + vx, uy * 2 + ux, ky, kx] = 1.0
+    return ind
+
+
+def _dw_s2d_kernel(dwk: jax.Array, c: int) -> jax.Array:
+    """Depthwise (3,3,1,c) s1 -> dense (3,3,4c,4c) on the s2d grid
+    (channel m*4+pos): see _s1_block_indicator for the geometry."""
+    ind = _s1_block_indicator()
     t = jnp.einsum("PQiokl,klm->PQmio", jnp.asarray(ind), dwk[:, :, 0, :])
     e = t[:, :, :, :, None, :] * jnp.eye(c, dtype=dwk.dtype)[
         None, None, :, None, :, None]
@@ -240,18 +248,11 @@ def _pw_s2d_kernel(pwk: jax.Array, c: int, f: int) -> jax.Array:
 
 
 def _s1_s2d_kernel(kernel: jax.Array) -> jax.Array:
-    """(3,3,cin,cout) k3-STRIDE-1 kernel -> (3,3,4cin,4cout) on the block
-    grid, position-MAJOR channels on both sides (ch = pos*C + c): output
-    row 2I+uy reads rows 2I+uy-1..+1 = block rows I-1..I+1, pad 1."""
+    """(3,3,cin,cout) k3-STRIDE-1 DENSE kernel -> (3,3,4cin,4cout) on the
+    block grid, position-MAJOR channels on both sides (ch = pos*C + c);
+    geometry shared with the depthwise lowering (_s1_block_indicator)."""
     cin, cout = kernel.shape[2], kernel.shape[3]
-    ind = np.zeros((3, 3, 4, 4, 3, 3), np.float32)
-    for P in range(3):
-        for Q in range(3):
-            for uy, ux, vy, vx in np.ndindex(2, 2, 2, 2):
-                ky = 2 * P + vy - uy - 1
-                kx = 2 * Q + vx - ux - 1
-                if 0 <= ky < 3 and 0 <= kx < 3:
-                    ind[P, Q, vy * 2 + vx, uy * 2 + ux, ky, kx] = 1.0
+    ind = _s1_block_indicator()
     k = jnp.einsum("PQiukl,klcd->PQicud", jnp.asarray(ind), kernel)
     return k.reshape(3, 3, 4 * cin, 4 * cout)
 
@@ -535,6 +536,15 @@ def vgg_block(x, features: Sequence[int], compute_dtype: str, prefix: str,
     on device) or a pre-transformed (B, H/2, W/2, 12) one. Used for the
     lane-starved conv1 blocks of the VGG-family models.
     """
+    # s2d_stem is an OPT-IN (pass cfg.stem_s2d): the block itself decides
+    # eligibility from the input — float mode, even dims or a pre-permuted
+    # 12-channel input — so the gate lives here once, not in every model.
+    if s2d_stem:
+        even = x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+        s2d_stem = compute_dtype != "int8" and (even or x.shape[-1] == 12)
+    if x.shape[-1] == 12 and not s2d_stem:
+        raise ValueError(
+            "s2d input layout needs stem_s2d and a float compute mode")
     if s2d_stem:
         assert pool, "s2d_stem emits the pooled plain grid"
         if x.shape[-1] == 3:

@@ -22,16 +22,11 @@ class VGG19Pose(nn.Module):
         d = self.cfg.compute_dtype
         x = x.astype(common._dtype(d))
         # conv1 block on the space-to-depth grid when the lowering is
-        # available (same params; lane-starved 3->64->64 convs run as
+        # available (same params; lane-starved low-channel convs run as
         # MXU-shaped block-grid convs and the pool is a free channel max
-        # -- common.S2DConvRelu). int8 keeps the plain quantized path.
-        even = x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
-        s2d1 = (self.cfg.stem_s2d and d != "int8"
-                and (even or x.shape[-1] == 12))
-        if x.shape[-1] == 12 and not s2d1:
-            raise ValueError(
-                "s2d input layout needs stem_s2d and a float compute mode")
-        x = common.vgg_block(x, (64, 64), d, "conv1", s2d_stem=s2d1)
+        # -- common.S2DConvRelu; vgg_block gates eligibility itself).
+        x = common.vgg_block(x, (64, 64), d, "conv1",
+                             s2d_stem=self.cfg.stem_s2d)
         x = common.vgg_block(x, (128, 128), d, "conv2")
         x = common.vgg_block(x, (256, 256, 256, 256), d, "conv3")
         x = common.vgg_block(x, (512, 512), d, "conv4", pool=False)

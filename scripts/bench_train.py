@@ -64,10 +64,7 @@ def main() -> None:
     max_people = 8
     # images in the model's preferred input layout — exactly what the
     # train pipeline ships (host-side space-to-depth; data/pipeline.py)
-    level = cfg.model.preferred_input_layout()
-    img_shape = {0: (args.batch, args.hin, args.win, 3),
-                 1: (args.batch, args.hin // 2, args.win // 2, 12),
-                 2: (args.batch, args.hin // 4, args.win // 4, 48)}[level]
+    img_shape = cfg.model.input_shape(args.batch)
     batch = {
         "images": jnp.asarray(rng.integers(
             0, 255, img_shape, dtype=np.uint8)),
