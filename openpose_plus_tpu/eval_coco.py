@@ -295,18 +295,48 @@ def evaluate_engine(engine, dataset, batch_size: int = 8,
                 humans, b, img_id, scale, pad, m.hin, m.win))
         batch_imgs, batch_meta = [], []
 
-    for i in range(lo, hi):
-        s = dataset[i]
-        img = _load_image(s.image_path)
-        net_img, scale, pad = letterbox(img, m.hin, m.win)
-        batch_imgs.append(net_img)
-        batch_meta.append((s.image_id, scale, pad))
-        gt_by_image[s.image_id] = (
-            s.keypoints_coco, s.areas,
-            getattr(s, "ignore_boxes", np.zeros((0, 4), np.float32)))
-        if len(batch_imgs) == batch_size:
+    from openpose_plus_tpu import native
+
+    if native.is_available():
+        # multithreaded C++ decode + letterbox (+ the model's s2d input
+        # layout) — the same loader as stream mode; a full val2017 eval
+        # is host-decode-bound otherwise. GT registers for EVERY sample
+        # in the slice (an unreadable image counts against AP rather than
+        # aborting the run — the loader skips it).
+        samples = [dataset[i] for i in range(lo, hi)]
+        for s in samples:
+            gt_by_image[s.image_id] = (
+                s.keypoints_coco, s.areas,
+                getattr(s, "ignore_boxes", np.zeros((0, 4), np.float32)))
+        loader = native.NativeStreamLoader(
+            [s.image_path for s in samples], m.hin, m.win,
+            batch=batch_size, s2d=m.preferred_input_layout())
+        try:
+            for nb in loader:
+                for b in range(nb["images"].shape[0]):
+                    s = samples[int(nb["indices"][b])]
+                    batch_imgs.append(nb["images"][b])
+                    batch_meta.append((s.image_id, float(nb["scales"][b]),
+                                       (float(nb["pads"][b, 0]),
+                                        float(nb["pads"][b, 1]))))
+                    if len(batch_imgs) == batch_size:
+                        flush()
             flush()
-    flush()
+        finally:
+            loader.close()
+    else:
+        for i in range(lo, hi):
+            s = dataset[i]
+            img = _load_image(s.image_path)
+            net_img, scale, pad = letterbox(img, m.hin, m.win)
+            batch_imgs.append(net_img)
+            batch_meta.append((s.image_id, scale, pad))
+            gt_by_image[s.image_id] = (
+                s.keypoints_coco, s.areas,
+                getattr(s, "ignore_boxes", np.zeros((0, 4), np.float32)))
+            if len(batch_imgs) == batch_size:
+                flush()
+        flush()
 
     if distributed:
         # every process must see every detection AND every GT

@@ -181,3 +181,38 @@ def test_pack_unpack_detections_roundtrip(rng):
         assert a.image_id == b.image_id and a.score == pytest.approx(b.score)
         np.testing.assert_allclose(a.keypoints, b.keypoints)
     assert E._unpack_detections(E._pack_detections([])) == []
+
+
+def test_evaluate_engine_native_and_python_paths_agree(tmp_path, monkeypatch):
+    """evaluate_engine through the native stream loader must produce the
+    same detections/AP as the pure-Python loop (same letterbox math, same
+    GT registration)."""
+    import dataclasses
+
+    import jax
+
+    from openpose_plus_tpu import native
+    from openpose_plus_tpu.config import default_config
+    from openpose_plus_tpu.data.coco import CocoPoseDataset
+    from openpose_plus_tpu.engine import Engine
+    from openpose_plus_tpu.eval_coco import evaluate_engine
+    from tests.test_train import _write_fake_dataset
+
+    ann, imgs = _write_fake_dataset(tmp_path)
+    ds = CocoPoseDataset(ann, imgs)
+    cfg = default_config("mobilenet_thin")
+    cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, hin=64, win=96, n_stages=2, compute_dtype="float32"))
+    eng = Engine(cfg, seed=1)
+
+    results = {}
+    for use_native in ((True, False) if native.is_available()
+                       else (False,)):
+        if not use_native:
+            monkeypatch.setattr(native, "is_available", lambda: False)
+        results[use_native] = evaluate_engine(eng, ds, batch_size=4,
+                                              limit=6)
+    for r in results.values():
+        assert np.isfinite(r.ap)
+    if len(results) == 2:
+        assert abs(results[True].ap - results[False].ap) < 1e-6
