@@ -9,10 +9,17 @@ Methodology:
     benchmarking mode (C++ examples' --fake flag — SURVEY.md §4); this rig
     reaches the chip through a ~35 MB/s development tunnel, so
     host-interleaved numbers would measure the tunnel, not the engine.
-  * Timing chains `iters` end-to-end iterations through a scalar data
-    dependence (each step perturbs the next input) and ends in one tiny
-    D2H fetch — the only honest clock on a remote-execution backend where
-    per-call block_until_ready can return before work completes.
+  * The timed unit is ONE jitted `lax.fori_loop` running N end-to-end
+    iterations chained through a scalar data dependence (each step
+    perturbs the next input) and ending in one tiny D2H fetch. A
+    two-point slope — (t(N_large) − t(N_small)) / (N_large − N_small) —
+    cancels the fixed dispatch+round-trip cost exactly, so the number is
+    the engine's in-program step time regardless of how slow the dev
+    tunnel happens to be that day (measured: per-call dispatch swings
+    ~80 us .. ~2.5 ms between rig windows, which is why earlier
+    host-chained methodologies produced the unstable bs=1 figures flagged
+    in ADVICE.md r1; the fori-loop slope reproduces within a few percent
+    across those same windows).
 
 vs_baseline: BASELINE.json has `published: {}` (empty reference mount), so
 the first recorded run under this methodology is the frozen baseline
@@ -27,65 +34,76 @@ import os
 import time
 
 
-def _device_loop_seconds(engine, images, repeats: int = 3,
-                         target_seconds: float = 0.15) -> float:
-    """Best mean seconds per end-to-end inference over `repeats` passes.
+def fori_slope_seconds(loop_fn, carry0, repeats: int = 3,
+                       target_seconds: float = 0.4) -> float:
+    """Best in-program seconds per iteration of a jitted device loop.
 
-    Iterations are chained through a scalar data dependence (the previous
-    result perturbs the next input), so the device MUST execute them
-    sequentially and the final tiny D2H forces completion of all of them —
-    honest timing on a remote-execution backend where per-call
-    block_until_ready can return early. Python-level chaining keeps the
-    compiled program the size of ONE engine step (a lax.fori_loop variant
-    compiles minutes-long programs on the remote-compile rig).
+    `loop_fn(n, carry) -> carry` must run n chained iterations of the
+    measured step inside ONE jitted `lax.fori_loop` with a DYNAMIC trip
+    count (one compilation serves every n; the persistent compile cache
+    makes it one-time per config). Chaining through the carry forces the
+    device to execute the iterations sequentially, and the single D2H of
+    the scalar carry forces completion — honest on a remote-execution
+    backend where per-call block_until_ready can return early.
 
-    The per-pass iteration count is sized from a warm estimate so each
-    timed pass runs ~`target_seconds`: constant per-pass overhead (final
-    D2H round-trip over the dev tunnel) is amortized below the noise floor
-    instead of subtracted. (The r1 harness subtracted a one-shot overhead
-    sample from a 20-iteration total; at bs=1 the two are comparable and
-    the difference is noise-dominated — that is what produced the spurious
-    5766-FPS single-image figure flagged in ADVICE.md. It does not
-    reproduce: 200-iteration amortized runs give ~1500-1700 FPS.)
-
-    Best-of-N passes: the shared development rig shows occasional
-    multi-second degraded windows (~5x slow); the fastest full pass is the
-    engine's actual throughput.
+    Per-iteration time is the TWO-POINT SLOPE between a short and a long
+    loop: (t(n_large) − t(n_small)) / (n_large − n_small). Both passes pay
+    the same fixed cost (dispatch + tunnel round-trip for the final
+    scalar), so the slope cancels it exactly instead of estimating it —
+    the r1 host-chained harness was at the mercy of the rig's
+    per-dispatch latency (~80 us in good windows, ~2.5 ms in bad ones),
+    which produced the unstable bs=1 figures flagged in ADVICE.md.
+    Best-of-`repeats` passes guards the occasional multi-second degraded
+    rig window.
     """
+    import numpy as np
+
+    def run(n, carry):
+        t0 = time.perf_counter()
+        carry = loop_fn(n, carry)
+        _ = np.asarray(carry)
+        return time.perf_counter() - t0, carry
+
+    _, carry = run(5, carry0)           # compile + warmup
+    t_est, carry = run(20, carry)       # sizes the timed passes
+    est = t_est / 20
+    n_large = int(min(1000, max(40, round(target_seconds / est))))
+    n_small = max(5, n_large // 8)
+    best = float("inf")
+    for _ in range(repeats):
+        t_small, carry = run(n_small, carry)
+        t_large, carry = run(n_large, carry)
+        dt = (t_large - t_small) / (n_large - n_small)
+        best = min(best, max(dt, 1e-9))
+    return best
+
+
+def _device_loop_seconds(engine, images, repeats: int = 3,
+                         target_seconds: float = 0.4) -> float:
+    """fori_slope_seconds over the full engine step (preprocess -> CNN ->
+    decode), each iteration's input perturbed by the previous result."""
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from openpose_plus_tpu.engine import preprocess_images
     from openpose_plus_tpu.postproc import decode_maps
 
     model, pcfg = engine.model, engine.config.postproc
 
-    @jax.jit
     def step(params, images, carry):
         x = preprocess_images(images) + carry * 1e-12  # chain dependence
         out = model.apply(params, x)
         res = decode_maps(out["conf"][-1], out["paf"][-1], pcfg)
         return jnp.sum(res.score)
 
-    carry = jnp.float32(0.0)
-    carry = step(engine.params, images, carry)   # compile + warmup
-    _ = np.asarray(carry)
-    # Warm pass sizes the timed passes (est includes one D2H over 20 iters).
-    t0 = time.perf_counter()
-    for _ in range(20):
-        carry = step(engine.params, images, carry)
-    _ = np.asarray(carry)
-    est = (time.perf_counter() - t0) / 20
-    iters = int(min(300, max(20, round(target_seconds / est))))
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            carry = step(engine.params, images, carry)
-        _ = np.asarray(carry)
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+    @jax.jit
+    def loop(params, images, n, carry):
+        return jax.lax.fori_loop(
+            0, n, lambda i, c: step(params, images, c), carry)
+
+    return fori_slope_seconds(
+        lambda n, c: loop(engine.params, images, n, c),
+        jnp.float32(0.0), repeats=repeats, target_seconds=target_seconds)
 
 
 def main() -> None:

@@ -2,10 +2,10 @@
 
 The training analogue of bench.py: times the FULL on-device train step —
 uint8 normalize, GT heatmap/PAF synthesis (make_targets_batch), forward,
-deep-supervision loss, backward, optimizer update — with the chained
-data-dependence methodology (see bench.py: per-call block_until_ready can
-return early on the remote-execution backend, so iterations are chained
-through the loss scalar and finished with one tiny D2H).
+deep-supervision loss, backward, optimizer update — with the jitted
+fori-loop two-point-slope methodology (see bench.fori_slope_seconds:
+iterations chained through the loss scalar inside ONE device program, so
+the number is independent of the rig's per-dispatch latency).
 
     python scripts/bench_train.py [--model mobilenet_thin] [--batch 8]
                                   [--hin 368] [--win 656] [--remat]
@@ -21,7 +21,6 @@ import dataclasses
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -32,7 +31,6 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--hin", type=int, default=368)
     ap.add_argument("--win", type=int, default=656)
-    ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize stage activations (jax.checkpoint)")
@@ -57,8 +55,10 @@ def main() -> None:
                                   remat_stages=args.remat),
         train=dataclasses.replace(cfg.train, batch_size=args.batch))
 
+    from bench import fori_slope_seconds
+
     state = T.create_train_state(cfg, jax.random.PRNGKey(0))
-    step = jax.jit(T.make_train_step_on_batch(cfg), donate_argnums=0)
+    tstep = T.make_train_step_on_batch(cfg)
 
     rng = np.random.default_rng(0)
     max_people = 8
@@ -78,21 +78,22 @@ def main() -> None:
              args.win // cfg.model.stride, 1), jnp.float32),
     }
 
-    # compile + warm; chain steps through the loss scalar folded into the
-    # image batch so the device must execute them sequentially
-    state, metrics = step(state, batch)
-    _ = float(metrics["loss"])
-    best = float("inf")
-    for _ in range(args.repeats):
-        t0 = time.perf_counter()
-        carry = jnp.float32(0.0)
-        for _ in range(args.iters):
+    # n chained steps in ONE device program: each iteration's mask is
+    # perturbed by the previous loss, so the device must run them in
+    # order; only the final loss scalar leaves the chip.
+    @jax.jit
+    def loop(n, state, batch, carry):
+        def body(_, sc):
+            st, c = sc
             b = dict(batch)
-            b["mask"] = batch["mask"] + carry * 1e-12
-            state, metrics = step(state, b)
-            carry = metrics["loss"]
-        _ = float(carry)
-        best = min(best, (time.perf_counter() - t0) / args.iters)
+            b["mask"] = batch["mask"] + c * 1e-12
+            st, metrics = tstep(st, b)
+            return (st, metrics["loss"])
+        return jax.lax.fori_loop(0, n, body, (state, carry))[1]
+
+    best = fori_slope_seconds(
+        lambda n, c: loop(n, state, batch, c), jnp.float32(0.0),
+        repeats=args.repeats)
 
     name = (f"train_imgs_per_sec_{args.model}_{args.hin}x{args.win}"
             f"_bs{args.batch}" + ("_remat" if args.remat else ""))

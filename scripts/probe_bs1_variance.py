@@ -1,7 +1,9 @@
 """Reproduce the ADVICE.md r1 finding: bs=1 368x432 FPS variance.
 
-Runs the CURRENT bench methodology (overhead-subtraction) and a two-point
-slope methodology side by side, several times each, on the real chip.
+Runs the CURRENT bench methodology (jitted fori-loop + two-point slope)
+against host-chained dispatch loops, several times each, on the real chip.
+The host-chained numbers swing with the rig's per-dispatch latency
+(~80 us .. ~2.5 ms between windows); the fori-loop slope does not.
 """
 import dataclasses
 import os
@@ -47,12 +49,12 @@ carry = jnp.float32(0.0)
 carry = step(eng.params, images, carry)
 _ = np.asarray(carry)
 
-print("=== current methodology (overhead subtraction, best-of-3, 20 iters) ===")
+print("=== current methodology (fori-loop two-point slope, best-of-3) ===")
 for trial in range(5):
-    dt = _device_loop_seconds(eng, images, iters=20, repeats=3)
+    dt = _device_loop_seconds(eng, images, repeats=3)
     print(f"trial {trial}: {1.0/dt:9.1f} FPS   ({dt*1e3:.3f} ms/frame)")
 
-print("=== two-point slope methodology ===")
+print("=== host-chained two-point slope (pays per-dispatch latency) ===")
 
 
 def slope_seconds(n_small=10, n_large=110, repeats=3):
