@@ -513,6 +513,14 @@ class MultiStageHead(nn.Module):
                 x = jnp.concatenate(
                     [feature, confs[-1].astype(feature.dtype),
                      pafs[-1].astype(feature.dtype)], axis=-1)
+                # Materialize the stage input ONCE. Without the barrier
+                # XLA fuses this 4-piece concat into every consumer —
+                # both branches' first depthwise conv and, in training,
+                # their dx/dW transposes — re-gathering the pieces each
+                # time: measured 185 us vs 129 us for the same dw conv
+                # reading a contiguous 537-ch buffer (bs=8 46x82, device
+                # trace; see scripts/trace_train_step.py).
+                x = jax.lax.optimization_barrier(x)
             conf = branch_cls(self.n_heatmaps, separable=self.separable,
                               compute_dtype=self.compute_dtype,
                               fused=self.fused,

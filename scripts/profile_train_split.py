@@ -82,16 +82,28 @@ def main() -> None:
         loss, _ = T.pose_loss(out, gt_conf, gt_paf, batch["mask"])
         return loss
 
-    def full_step(state0, batch, carry):
-        b = dict(batch)
-        b["mask"] = batch["mask"] + carry * 1e-12
-        _, metrics = tstep(state0, b)
-        return metrics["loss"]
+    # The full step must thread STATE through the loop — with a fixed
+    # state0, XLA hoists the loop-invariant forward+backward out of the
+    # fori_loop entirely and "full_step" measures one masked-L2 reduction
+    # (observed: 0.16 ms vs the true 14.6 ms). Same loop as
+    # bench_train.py.
+    @jax.jit
+    def full_loop(n, state, batch, carry):
+        def body(_, sc):
+            st, c = sc
+            b = dict(batch)
+            b["mask"] = batch["mask"] + c * 1e-12
+            st, metrics = tstep(st, b)
+            return (st, metrics["loss"])
+        return jax.lax.fori_loop(0, n, body, (state, carry))[1]
+
+    from bench import fori_slope_seconds
 
     t = {}
     t["targets_only"] = _prof.timed(targets_only, batch)
     t["fwd_loss"] = _prof.timed(fwd_loss, state.params, batch)
-    t["full_step"] = _prof.timed(full_step, state, batch)
+    t["full_step"] = fori_slope_seconds(
+        lambda n, c: full_loop(n, state, batch, c), jnp.float32(0.0))
     t["bwd_plus_opt"] = t["full_step"] - t["fwd_loss"]
     print(json.dumps({k: round(v * 1e3, 3) for k, v in t.items()},
                      indent=2))
