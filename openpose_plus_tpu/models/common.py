@@ -513,14 +513,23 @@ class MultiStageHead(nn.Module):
                 x = jnp.concatenate(
                     [feature, confs[-1].astype(feature.dtype),
                      pafs[-1].astype(feature.dtype)], axis=-1)
-                # Materialize the stage input ONCE. Without the barrier
-                # XLA fuses this 4-piece concat into every consumer —
-                # both branches' first depthwise conv and, in training,
-                # their dx/dW transposes — re-gathering the pieces each
-                # time: measured 185 us vs 129 us for the same dw conv
-                # reading a contiguous 537-ch buffer (bs=8 46x82, device
-                # trace; see scripts/trace_train_step.py).
-                x = jax.lax.optimization_barrier(x)
+                # Materialize the stage input ONCE — but only where it
+                # wins. Without the barrier XLA fuses this 4-piece concat
+                # into every consumer — both branches' first depthwise
+                # conv and, in training, their dx/dW transposes —
+                # re-gathering the pieces each time: measured 185 us vs
+                # 129 us for the same dw conv reading a contiguous 537-ch
+                # buffer (bs=8 46x82 device trace,
+                # scripts/trace_train_step.py). Wins for the separable
+                # (thin) heads at serving/training batches: headline
+                # 1920 -> 2093-2163 FPS, train 546 -> 590 imgs/s.
+                # Measured LOSSES elsewhere, hence the gate: dense-head
+                # VGG19 at bs=1 297 -> 275 FPS (tiny stage inputs, the
+                # extra materialization dominates) and mobilenet bs=32
+                # 1765 -> 1519-1633 (the materialized 537-ch buffers
+                # fall out of the alternate-memory working set).
+                if self.separable and x.shape[0] <= 16:
+                    x = jax.lax.optimization_barrier(x)
             conf = branch_cls(self.n_heatmaps, separable=self.separable,
                               compute_dtype=self.compute_dtype,
                               fused=self.fused,

@@ -14,6 +14,7 @@ performance on the table.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from openpose_plus_tpu.config import ModelConfig
@@ -93,6 +94,15 @@ class MobileNetThinPose(nn.Module):
         # grid and fuse (reference concatenates multiple backbone taps).
         pooled = nn.max_pool(feat_s4, (2, 2), strides=(2, 2))
         feature = jnp.concatenate([pooled, x], axis=-1)
+        # Materialize once: `feature` has 7+ consumers (both stage-1
+        # branches and every later stage's input concat); without the
+        # barrier XLA re-gathers (pooled, x) per consumer — same
+        # re-gather pathology as the stage-input concat in
+        # common.MultiStageHead (see device trace, ARCHITECTURE.md).
+        # Same gate as there: wins at serving/training batches, loses
+        # past the alternate-memory working set.
+        if feature.shape[0] <= 16:
+            feature = jax.lax.optimization_barrier(feature)
         # 3x3 separable stage convs (the reference thin-model family's
         # choice): a depthwise 7x7 over the 441-ch stage input is VPU-bound
         # and ~2.5x the stage cost for no capacity gain.
