@@ -53,8 +53,13 @@ def fori_slope_seconds(loop_fn, carry0, repeats: int = 3,
     the r1 host-chained harness was at the mercy of the rig's
     per-dispatch latency (~80 us in good windows, ~2.5 ms in bad ones),
     which produced the unstable bs=1 figures flagged in ADVICE.md.
-    Best-of-`repeats` passes guards the occasional multi-second degraded
-    rig window.
+
+    Robustness (ADVICE.md r2): slope noise is two-sided — a degraded-rig
+    spike landing on the SMALL pass makes the slope too small or even
+    negative, so min-over-repeats is biased and a non-positive clamp
+    would fabricate absurd figures. Instead, non-positive slope samples
+    are DISCARDED (with bounded retries) and the reported figure is the
+    MEDIAN of the valid samples.
     """
     import numpy as np
 
@@ -69,13 +74,20 @@ def fori_slope_seconds(loop_fn, carry0, repeats: int = 3,
     est = t_est / 20
     n_large = int(min(1000, max(40, round(target_seconds / est))))
     n_small = max(5, n_large // 8)
-    best = float("inf")
-    for _ in range(repeats):
+    slopes = []
+    for _ in range(3 * repeats):        # bounded retries for bad windows
         t_small, carry = run(n_small, carry)
         t_large, carry = run(n_large, carry)
         dt = (t_large - t_small) / (n_large - n_small)
-        best = min(best, max(dt, 1e-9))
-    return best
+        if dt > 0:
+            slopes.append(dt)
+            if len(slopes) >= repeats:
+                break
+    if not slopes:
+        raise RuntimeError(
+            "fori_slope_seconds: no positive slope sample in "
+            f"{3 * repeats} passes — rig too degraded to measure")
+    return float(np.median(slopes))
 
 
 def _device_loop_seconds(engine, images, repeats: int = 3,

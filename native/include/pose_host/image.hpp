@@ -11,7 +11,13 @@ struct Image {
   std::vector<std::uint8_t> rgb;  // HWC, RGB
 };
 
-bool decode_image(const char* path, Image* out);
+// target_h/target_w (optional): the letterbox geometry the caller will
+// resize into; JPEGs then use libjpeg DCT scaling (scale_num/denom) to
+// decode at the coarsest M/8 scale that keeps the decoded image no
+// smaller than the letterboxed content — large photos decode ~4-8x
+// faster with no resolution loss at the network input.
+bool decode_image(const char* path, Image* out, int target_h = 0,
+                  int target_w = 0);
 void letterbox_resize(const Image& src, int hin, int win, std::uint8_t* dst,
                       float* scale_out, float* pad_out);
 void space_to_depth_u8(const std::uint8_t* src, int h, int w,

@@ -34,7 +34,7 @@ void jpeg_err_exit(j_common_ptr cinfo) {
   std::longjmp(err->jb, 1);
 }
 
-bool decode_jpeg(FILE* f, Image* out) {
+bool decode_jpeg(FILE* f, Image* out, int target_h, int target_w) {
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.mgr);
@@ -50,6 +50,24 @@ bool decode_jpeg(FILE* f, Image* out) {
     return false;
   }
   cinfo.out_color_space = JCS_RGB;
+  // DCT-scaled decode: when the caller's letterbox target is known,
+  // decode at the coarsest M/8 scale that still keeps the decoded image
+  // at least as large as the letterboxed content (never upsampled), so a
+  // 4000px photo headed for 368x656 decodes at ~1/8 scale — IDCT +
+  // scanline cost drops ~4-8x on large photos, the dominant host cost in
+  // stream mode on small-core rigs. The actual output dims are read back
+  // below, so libjpeg variants that round the requested scale stay
+  // correct.
+  if (target_h > 0 && target_w > 0 && cinfo.image_width > 0 &&
+      cinfo.image_height > 0) {
+    const float ts = std::min(float(target_w) / cinfo.image_width,
+                              float(target_h) / cinfo.image_height);
+    if (ts < 1.0f) {
+      int m = int(ts * 8.0f) + (ts * 8.0f > float(int(ts * 8.0f)) ? 1 : 0);
+      cinfo.scale_num = std::clamp(m, 1, 8);
+      cinfo.scale_denom = 8;
+    }
+  }
   jpeg_start_decompress(&cinfo);
   out->w = cinfo.output_width;
   out->h = cinfo.output_height;
@@ -95,7 +113,7 @@ bool decode_png(FILE* f, Image* out) {
 
 }  // namespace
 
-bool decode_image(const char* path, Image* out) {
+bool decode_image(const char* path, Image* out, int target_h, int target_w) {
   PH_TRACE_SCOPE("decode");
   FILE* f = std::fopen(path, "rb");
   if (!f) return false;
@@ -107,9 +125,9 @@ bool decode_image(const char* path, Image* out) {
   std::rewind(f);
   bool ok = false;
   if (sig[0] == 0xFF && sig[1] == 0xD8) {
-    ok = decode_jpeg(f, out);
+    ok = decode_jpeg(f, out, target_h, target_w);
   } else if (sig[0] == 0x89 && sig[1] == 'P') {
-    ok = decode_png(f, out);
+    ok = decode_png(f, out);  // PNG has no cheap scaled decode
   }
   std::fclose(f);
   return ok;

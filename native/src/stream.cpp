@@ -99,7 +99,7 @@ class StreamLoader {
       f.index = static_cast<int>(idx);
       f.pixels.resize(std::size_t(hin_) * win_ * 3);
       Image img;
-      if (decode_image(paths_[idx].c_str(), &img)) {
+      if (decode_image(paths_[idx].c_str(), &img, hin_, win_)) {
         if (s2d_) {
           // letterbox into a per-thread scratch plane, then emit the
           // engine's space-to-depth layout (same bytes, block-permuted)
@@ -207,7 +207,7 @@ void ph_stream_destroy(void* handle) {
 int ph_load_image(const char* path, int hin, int win, std::uint8_t* out,
                   float* scale_out, float* pad_out) {
   pose_host::Image img;
-  if (!pose_host::decode_image(path, &img)) return 0;
+  if (!pose_host::decode_image(path, &img, hin, win)) return 0;
   pose_host::letterbox_resize(img, hin, win, out, scale_out, pad_out);
   return 1;
 }

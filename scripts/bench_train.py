@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import functools
 import json
 import os
 import sys
@@ -80,8 +81,12 @@ def main() -> None:
 
     # n chained steps in ONE device program: each iteration's mask is
     # perturbed by the previous loss, so the device must run them in
-    # order; only the final loss scalar leaves the chip.
-    @jax.jit
+    # order; only the final loss scalar leaves the chip. The state is
+    # DONATED (params + opt state would otherwise be double-buffered
+    # across the call boundary — peak-memory headroom risk on VGG19 /
+    # large batches) and threaded across passes through a host-side
+    # holder, since donation invalidates the input buffers.
+    @functools.partial(jax.jit, donate_argnums=1)
     def loop(n, state, batch, carry):
         def body(_, sc):
             st, c = sc
@@ -89,11 +94,16 @@ def main() -> None:
             b["mask"] = batch["mask"] + c * 1e-12
             st, metrics = tstep(st, b)
             return (st, metrics["loss"])
-        return jax.lax.fori_loop(0, n, body, (state, carry))[1]
+        return jax.lax.fori_loop(0, n, body, (state, carry))
 
-    best = fori_slope_seconds(
-        lambda n, c: loop(n, state, batch, c), jnp.float32(0.0),
-        repeats=args.repeats)
+    holder = {"state": state}
+
+    def loop_fn(n, c):
+        holder["state"], loss = loop(n, holder["state"], batch, c)
+        return loss
+
+    best = fori_slope_seconds(loop_fn, jnp.float32(0.0),
+                              repeats=args.repeats)
 
     name = (f"train_imgs_per_sec_{args.model}_{args.hin}x{args.win}"
             f"_bs{args.batch}" + ("_remat" if args.remat else ""))

@@ -76,8 +76,12 @@ def main() -> None:
     @jax.jit
     def fwd_loss(params, batch, carry):
         x = preprocess_images(batch["images"]) + carry * 1e-12
+        # keypoints must also be carry-perturbed (ADVICE.md r2): with a
+        # loop-invariant keypoints input XLA hoists GT synthesis out of
+        # the fori_loop, under-measuring fwd_loss and over-attributing
+        # the synth cost to bwd_plus_opt = full_step - fwd_loss.
         gt_conf, gt_paf = make_targets_batch(
-            batch["keypoints"], cfg.model, cfg.data)
+            batch["keypoints"] + carry * 1e-12, cfg.model, cfg.data)
         out = model.apply(params, x)
         loss, _ = T.pose_loss(out, gt_conf, gt_paf, batch["mask"])
         return loss

@@ -63,10 +63,59 @@ def test_slope_sizes_passes_to_target(monkeypatch):
     assert min(calls) >= 5
 
 
-def test_slope_best_of_repeats_rejects_degraded_pass(monkeypatch):
+def test_slope_median_rejects_degraded_pass(monkeypatch):
     # jitter adds a random nonnegative slowdown per pass (a degraded rig
     # window); the slope error is bounded by jitter / (n_large - n_small),
-    # far below the per-iteration time, and best-of-repeats tightens it
+    # far below the per-iteration time, and the median over valid samples
+    # tightens it
     per_iter = 2e-3
     dt, _ = _run(monkeypatch, per_iter, overhead=1e-3, jitter=1e-3)
     assert abs(dt - per_iter) < 1e-4
+
+
+def test_nonpositive_slopes_discarded_not_clamped(monkeypatch):
+    # ADVICE.md r2 (medium): a multi-second spike landing on the SMALL
+    # pass makes (t_large - t_small) negative; the old clamp-to-1e-9 fed
+    # that into min() and recorded absurd figures (e.g. 8e9 FPS). Such
+    # samples must be discarded and the harness must still recover
+    # per_iter from the remaining clean passes.
+    clock = VirtualClock()
+    per_iter, overhead = 2e-3, 1e-3
+    state = {"timed_pairs_seen": 0, "spiked": False}
+
+    def loop_fn(n, carry):
+        clock.now += overhead + n * per_iter
+        # After warmup+sizing (first two calls), spike the first SMALL
+        # pass of the timed section with a giant degraded-window stall.
+        state["timed_pairs_seen"] += 1
+        if state["timed_pairs_seen"] == 3 and not state["spiked"]:
+            state["spiked"] = True
+            clock.now += 30.0
+        return np.float32(carry + n)
+
+    monkeypatch.setattr(bench.time, "perf_counter", clock.perf_counter)
+    dt = bench.fori_slope_seconds(loop_fn, np.float32(0.0), repeats=3)
+    assert abs(dt - per_iter) < 1e-9
+    assert dt > 1e-4  # never the clamp artifact
+
+
+def test_all_passes_degraded_raises(monkeypatch):
+    # If every sample is non-positive the harness must refuse to report
+    # a number rather than fabricate one.
+    clock = VirtualClock()
+    state = {"calls": 0}
+
+    def loop_fn(n, carry):
+        state["calls"] += 1
+        clock.now += 1e-3 + n * 2e-3
+        if state["calls"] >= 3 and state["calls"] % 2 == 1:
+            clock.now += 30.0  # stall every small pass
+        return np.float32(carry + n)
+
+    monkeypatch.setattr(bench.time, "perf_counter", clock.perf_counter)
+    try:
+        bench.fori_slope_seconds(loop_fn, np.float32(0.0), repeats=3)
+    except RuntimeError as e:
+        assert "no positive slope" in str(e)
+    else:
+        raise AssertionError("expected RuntimeError on all-degraded rig")
