@@ -108,7 +108,38 @@ def child(rank: int, port: int) -> None:
         kps, areas, ign = gt_all[1000 + r]
         assert kps.shape == (1 + r, 17, 3) and ign.shape == (r, 4)
 
-    print(f"RANK{rank} OK loss={loss:.6f} evalgather=ok", flush=True)
+    # Distributed eval IN ANGER (not just pack/unpack round-trips): the
+    # full evaluate_engine(distributed=True) path — per-process dataset
+    # slice -> real Engine.infer -> detection/GT gather across the two
+    # processes -> AP — must equal the single-process AP bit-for-bit,
+    # since both ranks hold identical params and an identical seeded
+    # scene bank. Permissive grouping thresholds guarantee the untrained
+    # net still emits detections, so the gather carries real payloads.
+    import tempfile
+
+    from openpose_plus_tpu.data.coco import CocoPoseDataset
+    from openpose_plus_tpu.data.synthetic import make_scene_bank
+    from openpose_plus_tpu.engine import Engine
+
+    bank_dir = os.path.join(tempfile.gettempdir(), f"mp_eval_bank_r{rank}")
+    ann, imgs = make_scene_bank(bank_dir, "val", 12, 128)
+    ds = CocoPoseDataset(ann, imgs)
+    ecfg = cfg.replace(postproc=dataclasses.replace(
+        cfg.postproc, peak_threshold=0.0, paf_sample_threshold=-1.0,
+        paf_inlier_ratio=0.0, min_parts_per_human=1))
+    eng = Engine(ecfg, params=state.params)
+    r_single = E.evaluate_engine(eng, ds, batch_size=4, distributed=False)
+    r_dist = E.evaluate_engine(eng, ds, batch_size=4, distributed=True)
+    assert r_dist.n_images == r_single.n_images == 12, (
+        r_dist.n_images, r_single.n_images)
+    assert r_dist.n_dets == r_single.n_dets > 0, (
+        r_dist.n_dets, r_single.n_dets)
+    assert abs(r_dist.ap - r_single.ap) < 1e-9, (r_dist.ap, r_single.ap)
+    assert abs(r_dist.ar - r_single.ar) < 1e-9, (r_dist.ar, r_single.ar)
+
+    print(f"RANK{rank} OK loss={loss:.6f} evalgather=ok "
+          f"dist_eval_ap={r_dist.ap:.6f} dist_eval_dets={r_dist.n_dets}",
+          flush=True)
 
 
 def main() -> int:
@@ -136,9 +167,9 @@ def main() -> int:
         for r in range(N_PROC)
     ]
     ok = True
-    losses = []
+    losses, aps = [], []
     for r, p in enumerate(procs):
-        out, _ = p.communicate(timeout=600)
+        out, _ = p.communicate(timeout=900)
         text = out.decode()
         if p.returncode != 0 or f"RANK{r} OK" not in text:
             ok = False
@@ -147,8 +178,11 @@ def main() -> int:
             for line in text.splitlines():
                 if line.startswith(f"RANK{r} OK"):
                     losses.append(float(line.split("loss=")[1].split()[0]))
-    if ok and len(set(f"{l:.6f}" for l in losses)) == 1:
-        print(f"MULTIPROCESS OK: {N_PROC} procs, loss={losses[0]:.6f}")
+                    aps.append(line.split("dist_eval_ap=")[1].split()[0])
+    if (ok and len(set(f"{l:.6f}" for l in losses)) == 1
+            and len(set(aps)) == 1):
+        print(f"MULTIPROCESS OK: {N_PROC} procs, loss={losses[0]:.6f}, "
+              f"dist_eval_ap={aps[0]}")
         return 0
     print("MULTIPROCESS FAILED", losses)
     return 1
