@@ -69,6 +69,7 @@ def test_cli_missing_images(tmp_path):
     assert rc == 2
 
 
+@pytest.mark.slow
 def test_cli_export_then_infer_from_artifact(images, tmp_path):
     """export -> frozen StableHLO dir -> infer --engine-dir round trip."""
     eng_dir = str(tmp_path / "engine")
@@ -98,6 +99,7 @@ def test_cli_stream_smoke(images):
     assert rc == 0
 
 
+@pytest.mark.slow
 def test_cli_stream_video(tmp_path):
     """stream --video: the reference stream-detector's video-file source."""
     rng = np.random.default_rng(0)

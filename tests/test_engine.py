@@ -39,6 +39,7 @@ def test_engine_aot_compile(rng):
     assert out.coords.shape[0] == 4
 
 
+@pytest.mark.slow
 def test_engine_mesh_inference_matches_single(rng):
     """Sharded inference over the 8-device mesh == single-device results."""
     cfg = _tiny()
@@ -65,6 +66,7 @@ def test_engine_fast_init_structure():
         assert x.shape == y.shape and x.dtype == y.dtype
 
 
+@pytest.mark.slow
 def test_engine_multiscale_single_scale_matches_infer(rng):
     """scales=(1.0,) multi-scale == plain infer (same maps, one decode)."""
     cfg = _tiny()
@@ -76,6 +78,7 @@ def test_engine_multiscale_single_scale_matches_infer(rng):
     np.testing.assert_allclose(np.asarray(a.coords), np.asarray(b.coords))
 
 
+@pytest.mark.slow
 def test_engine_multiscale_runs_and_averages(rng):
     """3-scale (+flip) search produces finite, well-formed results; the
     scaled passes snap input dims to the backbone stride."""
@@ -88,6 +91,7 @@ def test_engine_multiscale_runs_and_averages(rng):
     assert bool(np.isfinite(np.asarray(out.score)).all())
 
 
+@pytest.mark.slow
 def test_engine_s2d_input_layout_matches_plain(rng):
     """The space-to-depth input layout (B, hin/2, win/2, 12) — same bytes,
     block-permuted — must produce the same skeletons as the plain layout,

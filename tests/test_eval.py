@@ -183,6 +183,7 @@ def test_pack_unpack_detections_roundtrip(rng):
     assert E._unpack_detections(E._pack_detections([])) == []
 
 
+@pytest.mark.slow
 def test_evaluate_engine_native_and_python_paths_agree(tmp_path, monkeypatch):
     """evaluate_engine through the native stream loader must produce the
     same detections/AP as the pure-Python loop (same letterbox math, same

@@ -3,6 +3,7 @@
 import dataclasses
 
 import numpy as np
+import pytest
 
 from openpose_plus_tpu import export as E
 from openpose_plus_tpu.config import default_config
@@ -29,6 +30,7 @@ def test_export_roundtrip(tmp_path, rng):
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_export_s2d2_layout_roundtrip(tmp_path, rng):
     """Artifacts can bake the space-to-depth-squared input signature; the
     loaded engine then consumes exactly what the host loader emits."""
@@ -70,6 +72,7 @@ def test_export_rejects_unsupported_layout(tmp_path):
                       input_layout="s2d")
 
 
+@pytest.mark.slow
 def test_exported_s2d2_artifact_accepts_plain_images(tmp_path, rng):
     """ExportedEngine permutes plain images to the baked layout on the
     host — the deploy-the-artifact workflow never needs layout code."""

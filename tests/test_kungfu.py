@@ -35,6 +35,7 @@ def _max_replica_spread(params):
     return max(jax.tree.leaves(spread))
 
 
+@pytest.mark.slow
 def test_sync_sgd_matches_idiomatic_path(rng):
     cfg = _tiny_config(batch=8)
     mesh = _mesh(cfg)
@@ -58,6 +59,7 @@ def test_sync_sgd_matches_idiomatic_path(rng):
                                    atol=1e-6, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_sma_averages_replicas(rng):
     cfg = _tiny_config(batch=8)
     mesh = _mesh(cfg)
@@ -100,6 +102,7 @@ def test_pair_avg_gossip_round(rng):
         np.testing.assert_allclose(a.mean(0), b.mean(0), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_pair_avg_mixes_all_replicas(rng):
     """After log2(n) gossip rounds (lr=0) every replica equals the mean."""
     cfg = _tiny_config(batch=8)
@@ -131,6 +134,7 @@ def test_pair_avg_requires_power_of_two():
         kf.make_kungfu_steps(cfg, mesh, "pair-avg")
 
 
+@pytest.mark.slow
 def test_strategies_learn(rng):
     """Loss decreases under each strategy on a fixed batch.
 
@@ -152,6 +156,7 @@ def test_strategies_learn(rng):
         assert losses[-1] < losses[0] * 0.9, (strategy, losses)
 
 
+@pytest.mark.slow
 def test_train_loop_with_sma_strategy(tmp_path):
     """train_loop end-to-end under a decentralized strategy: per-device
     replicas, checkpointing worker 0's replica, resume restacking."""

@@ -100,6 +100,7 @@ def test_stem_s2d_odd_dims_fall_back():
     model.apply(params, x)  # must trace without shape errors
 
 
+@pytest.mark.slow
 def test_stem_s2d_grads_match_plain_conv():
     """Training through the deep-s2d lowering must produce the SAME
     parameter gradients as the plain lowering (the rearranged kernels are

@@ -11,6 +11,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import maputil
 from openpose_plus_tpu.config import default_config
@@ -35,6 +36,7 @@ def test_act_quantization_clips_and_scales():
     np.testing.assert_array_equal(np.asarray(q), [-127, -127, 0, 64, 127])
 
 
+@pytest.mark.slow
 def test_calibration_records_scales():
     cfg = default_config("mobilenet_thin")
     cfg = cfg.replace(model=dataclasses.replace(
@@ -59,6 +61,7 @@ def test_calibration_records_scales():
     assert again == after
 
 
+@pytest.mark.slow
 def test_int8_engine_matches_bf16_on_scene():
     """End-to-end: train-free engines share float params; the int8 decode
     must find the same humans as bf16 with close coordinates (quantization
@@ -85,6 +88,7 @@ def test_int8_engine_matches_bf16_on_scene():
     assert denom > 0 and float(cb @ cq) / denom > 0.98
 
 
+@pytest.mark.slow
 def test_partially_calibrated_tree_recalibrates():
     """A calib tree with ANY zero scale must not count as calibrated (a
     zero-scale layer would silently saturate); infer() re-calibrates."""

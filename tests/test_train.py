@@ -66,6 +66,7 @@ def test_sharded_step_matches_mesh(rng):
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
 def test_sharded_equals_single_device(rng):
     """DP sharding must not change the math (same loss as unsharded)."""
     cfg = _tiny_config(batch=8, spatial=1)
