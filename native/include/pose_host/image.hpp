@@ -7,7 +7,12 @@
 namespace pose_host {
 
 struct Image {
-  int w = 0, h = 0;
+  int w = 0, h = 0;               // dims of the DECODED pixel plane
+  // Dims of the ORIGINAL image (0 = same as w/h). DCT-scaled JPEG decode
+  // sets these larger than w/h; letterbox_resize computes its scale/pad
+  // contract against the ORIGINAL dims so detections always map back to
+  // source pixels, whatever scale the decoder chose.
+  int full_w = 0, full_h = 0;
   std::vector<std::uint8_t> rgb;  // HWC, RGB
 };
 

@@ -71,6 +71,8 @@ bool decode_jpeg(FILE* f, Image* out, int target_h, int target_w) {
   jpeg_start_decompress(&cinfo);
   out->w = cinfo.output_width;
   out->h = cinfo.output_height;
+  out->full_w = cinfo.image_width;   // original dims: the letterbox
+  out->full_h = cinfo.image_height;  // scale/pad contract is vs these
   out->rgb.resize(std::size_t(out->w) * out->h * 3);
   while (cinfo.output_scanline < cinfo.output_height) {
     JSAMPROW row = out->rgb.data() + std::size_t(cinfo.output_scanline) * out->w * 3;
@@ -137,25 +139,34 @@ bool decode_image(const char* path, Image* out, int target_h, int target_w) {
 // (half-pixel-center sampling, zero-padded borders). Writes the applied
 // scale and (pad_x, pad_y) so detections map back to source pixels —
 // identical math to data/augment.py :: letterbox.
+//
+// The scale/pad CONTRACT is against the ORIGINAL image dims (src.full_*,
+// falling back to the decoded dims): when the JPEG decoder produced a
+// DCT-downscaled plane, sampling coordinates pass through the
+// decoded/original ratio but the reported scale/pads stay in original
+// pixels, so `det_xy = (net_xy - pad) / scale` is decoder-independent.
 void letterbox_resize(const Image& src, int hin, int win, std::uint8_t* dst,
                       float* scale_out, float* pad_out) {
   PH_TRACE_SCOPE("resize");
-  const float scale =
-      std::min(float(win) / src.w, float(hin) / src.h);
-  const float pad_x = win / 2.0f - scale * src.w / 2.0f;
-  const float pad_y = hin / 2.0f - scale * src.h / 2.0f;
+  const int fw = src.full_w > 0 ? src.full_w : src.w;
+  const int fh = src.full_h > 0 ? src.full_h : src.h;
+  const float scale = std::min(float(win) / fw, float(hin) / fh);
+  const float pad_x = win / 2.0f - scale * fw / 2.0f;
+  const float pad_y = hin / 2.0f - scale * fh / 2.0f;
+  // decoded-plane pixels per original pixel (1 unless DCT-scaled)
+  const float rx = float(src.w) / fw, ry = float(src.h) / fh;
   *scale_out = scale;
   pad_out[0] = pad_x;
   pad_out[1] = pad_y;
   std::memset(dst, 0, std::size_t(hin) * win * 3);
 
   const int x0 = std::max(0, int(pad_x));
-  const int x1 = std::min(win, int(pad_x + scale * src.w + 0.999f));
+  const int x1 = std::min(win, int(pad_x + scale * fw + 0.999f));
   const int y0 = std::max(0, int(pad_y));
-  const int y1 = std::min(hin, int(pad_y + scale * src.h + 0.999f));
+  const int y1 = std::min(hin, int(pad_y + scale * fh + 0.999f));
 
   for (int y = y0; y < y1; ++y) {
-    const float sy = (y + 0.5f - pad_y) / scale - 0.5f;
+    const float sy = (y + 0.5f - pad_y) / scale * ry - 0.5f;
     const int iy = std::clamp(int(sy <= 0 ? 0 : sy), 0, src.h - 1);
     const int iy1 = std::min(iy + 1, src.h - 1);
     const float fy = sy <= 0 ? 0.0f : std::min(sy - iy, 1.0f);
@@ -163,7 +174,7 @@ void letterbox_resize(const Image& src, int hin, int win, std::uint8_t* dst,
     const std::uint8_t* r1 = src.rgb.data() + std::size_t(iy1) * src.w * 3;
     std::uint8_t* drow = dst + (std::size_t(y) * win + x0) * 3;
     for (int x = x0; x < x1; ++x) {
-      const float sx = (x + 0.5f - pad_x) / scale - 0.5f;
+      const float sx = (x + 0.5f - pad_x) / scale * rx - 0.5f;
       const int ix = std::clamp(int(sx <= 0 ? 0 : sx), 0, src.w - 1);
       const int ix1 = std::min(ix + 1, src.w - 1);
       const float fx = sx <= 0 ? 0.0f : std::min(sx - ix, 1.0f);

@@ -59,6 +59,43 @@ def test_native_decode_matches_cv2(image_dir):
         assert (diff > 30).mean() < 0.02
 
 
+def test_dct_scaled_decode_preserves_letterbox_contract(tmp_path):
+    """Large JPEGs decode DCT-downscaled (libjpeg scale_num/denom set from
+    the target size — native/src/image.cpp), but the reported scale/pads
+    MUST stay in ORIGINAL image pixels: r3 regression where the contract
+    was computed against the decoded plane, silently shifting every
+    detection (native-path eval AP collapsed to 0 while the python path
+    scored 0.26)."""
+    from openpose_plus_tpu.data.augment import letterbox as lb
+
+    for h, w in [(1024, 1536), (513, 511), (2000, 600)]:
+        p = str(tmp_path / f"big_{h}x{w}.jpg")
+        # strictly smooth content: the reference full-decode path below
+        # point-samples at ~1/12 scale (aliases any high-frequency
+        # content), while DCT-scaled decode box-filters first — only on
+        # smooth images do both pipelines agree closely
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack([xx * 255 // max(w - 1, 1),
+                        yy * 255 // max(h - 1, 1),
+                        (xx * 127 // max(w - 1, 1)
+                         + yy * 128 // max(h - 1, 1))], axis=-1)
+        cv2.imwrite(p, cv2.cvtColor(img.astype(np.uint8),
+                                    cv2.COLOR_RGB2BGR),
+                    [cv2.IMWRITE_JPEG_QUALITY, 95])
+        img, scale, pads = native.load_image(p, 128, 128)
+        ref = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
+        ref_img, ref_scale, ref_pads = lb(ref, 128, 128)
+        # scale/pads are vs the ORIGINAL dims, decoder-independent
+        assert scale == pytest.approx(ref_scale, rel=1e-5), (h, w)
+        assert pads[0] == pytest.approx(ref_pads[0], abs=0.51)
+        assert pads[1] == pytest.approx(ref_pads[1], abs=0.51)
+        # content parity through the scaled decode (gradients are smooth,
+        # so DCT-scaled + bilinear stays close to full-decode + bilinear)
+        diff = np.abs(img.astype(int) - ref_img.astype(int))
+        assert np.median(diff) <= 3, (h, w, np.median(diff))
+        assert (diff > 40).mean() < 0.02, (h, w)
+
+
 def test_native_letterbox_raw_frame():
     frame = _gradient_image(90, 200)
     img, scale, pads = native.letterbox(frame, 368, 432)
