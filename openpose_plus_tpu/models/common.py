@@ -14,12 +14,43 @@ Pallas kernels replace them — see ops/pallas/).
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any, NamedTuple, Sequence
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+class QAct(NamedTuple):
+    """int8-RESIDENT activation: quantized values + the (scalar) scale
+    that produced them.
+
+    Producer-side quantization (r3): each int8 conv emits its output
+    already quantized at its OWN calibrated output scale, and consumers
+    use the carried scale directly instead of re-quantizing at a
+    consumer-side scale. The r2 consumer-side design re-quantized every
+    conv input as a standalone bf16->s8 pass — a device trace of the int8
+    VGG19 engine showed those passes (round-nearest-even_convert fusions)
+    costing ~11 ms of the 20.7 ms step, with the shared stage-input
+    concat quantized 10x per stage. QAct makes inter-conv traffic int8
+    (half of bf16) and folds the requant into the conv epilogue.
+    """
+
+    q: jax.Array      # int8, activation shape
+    scale: jax.Array  # (), float32: values span [-scale, scale]
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+
+def dequant(x):
+    """QAct -> bfloat16 (identity on float arrays)."""
+    if isinstance(x, QAct):
+        return (x.q.astype(jnp.float32)
+                * (jnp.maximum(x.scale, 1e-6) / 127.0)).astype(jnp.bfloat16)
+    return x
 
 
 # Model output convention: a plain dict {'conf': [per-stage
@@ -57,29 +88,54 @@ def quantize_act(x: jax.Array, scale: jax.Array) -> jax.Array:
     return q.astype(jnp.int8)
 
 
-def _int8_conv(mod: nn.Module, x: jax.Array, kernel: jax.Array,
-               bias: jax.Array, strides: tuple[int, int], act: bool
-               ) -> jax.Array | None:
+def _int8_conv(mod: nn.Module, x, kernel: jax.Array,
+               bias: jax.Array, strides: tuple[int, int], act: bool,
+               emit_q: bool = True, padding="SAME"):
     """Shared quantized-conv path for ConvRelu/SepConvRelu.
 
-    While the `calib` collection is mutable (Engine.calibrate), records
-    max|x| into this layer's act_scale and returns None so the caller
-    runs its float path; otherwise runs the int8 MXU conv with a float
-    rescale epilogue and returns the bf16 activation.
+    While the `calib` collection is mutable (Engine.calibrate), runs the
+    float path itself and records BOTH scales — max|input| (act_scale,
+    used when this conv receives a float tensor) and max|output|
+    (out_scale, the scale this conv's QAct output carries). Otherwise
+    runs the int8 MXU conv with a float rescale+bias(+relu) epilogue;
+    with emit_q the epilogue also requantizes at out_scale and returns a
+    QAct (int8-resident chain), else returns the bf16 activation.
+
+    A QAct input is consumed DIRECTLY (its carried scale replaces
+    act_scale; no quantize pass) — the whole point of producer-side
+    quantization.
     """
-    sv = mod.variable("calib", "act_scale",
-                      lambda: jnp.zeros((), jnp.float32))
+    in_sv = mod.variable("calib", "act_scale",
+                         lambda: jnp.zeros((), jnp.float32))
+    out_sv = mod.variable("calib", "out_scale",
+                          lambda: jnp.zeros((), jnp.float32))
     if mod.is_mutable_collection("calib"):
-        sv.value = jnp.maximum(sv.value, jnp.max(jnp.abs(x)).astype(
+        xf = dequant(x)
+        in_sv.value = jnp.maximum(in_sv.value, jnp.max(jnp.abs(xf)).astype(
             jnp.float32))
-        return None
+        y = jax.lax.conv_general_dilated(
+            xf.astype(jnp.bfloat16), kernel.astype(jnp.bfloat16), strides,
+            padding, dimension_numbers=_DN) + bias.astype(jnp.bfloat16)
+        y = nn.relu(y) if act else y
+        out_sv.value = jnp.maximum(out_sv.value, jnp.max(jnp.abs(y)).astype(
+            jnp.float32))
+        return y
+    if isinstance(x, QAct):
+        q, s_in = x.q, jnp.maximum(x.scale, 1e-6)
+    else:
+        s_in = jnp.maximum(in_sv.value, 1e-6)
+        q = quantize_act(x, s_in)
     qw, wmax = quantize_weight(kernel)
     acc = jax.lax.conv_general_dilated(
-        quantize_act(x, sv.value), qw, strides, "SAME",
+        q, qw, strides, padding,
         dimension_numbers=_DN, preferred_element_type=jnp.int32)
-    rescale = jnp.maximum(sv.value, 1e-6) / (127.0 * 127.0) * wmax
-    y = (acc.astype(jnp.float32) * rescale + bias).astype(jnp.bfloat16)
-    return nn.relu(y) if act else y
+    rescale = s_in / (127.0 * 127.0) * wmax
+    y = acc.astype(jnp.float32) * rescale + bias
+    y = nn.relu(y) if act else y
+    if emit_q:
+        s_out = jnp.maximum(out_sv.value, 1e-6)
+        return QAct(quantize_act(y, s_out), s_out)
+    return y.astype(jnp.bfloat16)
 
 
 class ConvRelu(nn.Module):
@@ -103,16 +159,17 @@ class ConvRelu(nn.Module):
     @nn.compact
     def __call__(self, x):
         k = self.kernel
+        cin = x.q.shape[-1] if isinstance(x, QAct) else x.shape[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
-                            (k, k, x.shape[-1], self.features), jnp.float32)
+                            (k, k, cin, self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros_init(),
                           (self.features,), jnp.float32)
         dt = _dtype(self.compute_dtype)
         strides = (self.stride, self.stride)
         if self.compute_dtype == "int8":
-            y = _int8_conv(self, x, kernel, bias, strides, self.act)
-            if y is not None:
-                return y
+            # int8-resident: consumes QAct or float, emits QAct (float
+            # during the calibration pass)
+            return _int8_conv(self, x, kernel, bias, strides, self.act)
         y = jax.lax.conv_general_dilated(
             x.astype(dt), kernel.astype(dt), strides, "SAME",
             dimension_numbers=_DN) + bias.astype(dt)
@@ -297,6 +354,16 @@ class S2DConvRelu(nn.Module):
         if x.shape[-1] != 4 * cin:
             raise ValueError(
                 f"S2DConvRelu expects {4 * cin} channels, got {x.shape}")
+        if self.compute_dtype == "int8":
+            # int8 on the block grid (r3): quantize the REARRANGED kernel
+            # (per-output-channel over the 4*cout block channels) and run
+            # the same MXU int8 conv + epilogue as ConvRelu. This is what
+            # un-gates the s2d stem for int8 VGG models — the plain int8
+            # conv1 region cost 4.5 ms of the 20.3 ms VGG19 step (3-64ch
+            # full-res convs + the (4,128)-tile 3-channel input copy).
+            return _int8_conv(self, x, _s1_s2d_kernel(kernel),
+                              jnp.tile(bias, 4), (1, 1), act=True,
+                              padding=[(1, 1), (1, 1)])
         dt = _dtype(self.compute_dtype)
         y = jax.lax.conv_general_dilated(
             x.astype(dt), _s1_s2d_kernel(kernel).astype(dt), (1, 1),
@@ -385,6 +452,10 @@ class SepConvRelu(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # The separable path is bf16-resident even in int8 mode (the
+        # depthwise conv is VPU-bound); a QAct from an upstream ConvRelu
+        # is dequantized at the handoff.
+        x = dequant(x)
         c_in = x.shape[-1] // 4 if self.s2d_space else x.shape[-1]
         k = self.kernel
         dt = _dtype(self.compute_dtype)
@@ -433,9 +504,9 @@ class SepConvRelu(nn.Module):
             # Depthwise stays bf16 (VPU-bound; int8 measured SLOWER there);
             # the pointwise 1x1 — where the MACs are — runs on the MXU in
             # int8 with calibrated activation scale, as in ConvRelu.
-            out = _int8_conv(self, y, pwk, pwb, (1, 1), act=True)
-            if out is not None:
-                return out
+            # emit_q=False keeps this path bf16-resident end to end.
+            return _int8_conv(self, y, pwk, pwb, (1, 1), act=True,
+                              emit_q=False)
         y = jax.lax.conv_general_dilated(
             y, pwk.astype(dt), (1, 1), "SAME", dimension_numbers=_DN)
         return nn.relu(y + pwb.astype(dt))
@@ -471,8 +542,9 @@ class StageBranch(nn.Module):
         x = ConvRelu(self.proj_features, kernel=1,
                      compute_dtype=self.compute_dtype)(x)
         # Final prediction in float32: the decoder compares map values.
+        # (dequant: the int8-resident chain ends here.)
         x = nn.Conv(self.out_features, (1, 1), dtype=jnp.float32,
-                    param_dtype=jnp.float32)(x)
+                    param_dtype=jnp.float32)(dequant(x))
         return x
 
 
@@ -501,6 +573,12 @@ class MultiStageHead(nn.Module):
     def __call__(self, feature):
         confs, pafs = [], []
         branch_cls = nn.remat(StageBranch) if self.remat else StageBranch
+        # int8-resident stage inputs: quantize the (F, conf, paf) concat
+        # ONCE per stage at a per-stage calibrated scale and hand the
+        # QAct to both branches — the r2 design quantized the same
+        # concat at every consumer conv (10x per stage on VGG19, ~11 ms
+        # of standalone quantize fusions in the device trace).
+        f_float = dequant(feature) if self.n_stages > 1 else None
         x = feature
         for stage in range(self.n_stages):
             if stage == 0:
@@ -511,8 +589,20 @@ class MultiStageHead(nn.Module):
                 kw = dict(n_convs=self.refine_convs, kernel=self.refine_kernel,
                           mid_features=self.refine_mid, proj_features=self.refine_mid)
                 x = jnp.concatenate(
-                    [feature, confs[-1].astype(feature.dtype),
-                     pafs[-1].astype(feature.dtype)], axis=-1)
+                    [f_float, confs[-1].astype(f_float.dtype),
+                     pafs[-1].astype(f_float.dtype)], axis=-1)
+                # dense heads only: the separable branches are
+                # bf16-resident (depthwise first), so a QAct stage input
+                # would just be an extra quant/dequant roundtrip there
+                if self.compute_dtype == "int8" and not self.separable:
+                    sv = self.variable("calib", f"stage{stage + 1}_in_scale",
+                                       lambda: jnp.zeros((), jnp.float32))
+                    if self.is_mutable_collection("calib"):
+                        sv.value = jnp.maximum(
+                            sv.value, jnp.max(jnp.abs(x)).astype(jnp.float32))
+                    else:
+                        s = jnp.maximum(sv.value, 1e-6)
+                        x = QAct(quantize_act(x, s), s)
                 # Materialize the stage input ONCE — but only where it
                 # wins. Without the barrier XLA fuses this 4-piece concat
                 # into every consumer — both branches' first depthwise
@@ -554,14 +644,14 @@ def vgg_block(x, features: Sequence[int], compute_dtype: str, prefix: str,
     lane-starved conv1 blocks of the VGG-family models.
     """
     # s2d_stem is an OPT-IN (pass cfg.stem_s2d): the block itself decides
-    # eligibility from the input — float mode, even dims or a pre-permuted
-    # 12-channel input — so the gate lives here once, not in every model.
+    # eligibility from the input — even dims or a pre-permuted 12-channel
+    # input — so the gate lives here once, not in every model. int8 runs
+    # the block-grid lowering too (S2DConvRelu's quantized path, r3).
     if s2d_stem:
         even = x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
-        s2d_stem = compute_dtype != "int8" and (even or x.shape[-1] == 12)
+        s2d_stem = even or x.shape[-1] == 12
     if x.shape[-1] == 12 and not s2d_stem:
-        raise ValueError(
-            "s2d input layout needs stem_s2d and a float compute mode")
+        raise ValueError("s2d input layout needs stem_s2d")
     if s2d_stem:
         assert pool, "s2d_stem emits the pooled plain grid"
         if x.shape[-1] == 3:
@@ -569,15 +659,28 @@ def vgg_block(x, features: Sequence[int], compute_dtype: str, prefix: str,
         elif x.shape[-1] != 12:
             raise ValueError(f"s2d_stem expects an RGB image (plain or "
                              f"s2d layout), got {x.shape}")
+        # Measured three conv1 lowerings inside the int8 VGG19 engine
+        # (bs=8 368x656): plain-int8 4.4 ms, s2d-int8 4.4 ms, s2d-bf16
+        # 4.9 ms — the s2d grid's 4x structural zero-FLOPs saturate the
+        # MXU for exactly the bandwidth it saves, so the region is at its
+        # floor under every lowering. Kept uniform int8-s2d (marginally
+        # best, no (4,128)-tile 3-channel input copy, one quantized path).
         cin = 3
         for i, f in enumerate(features):
             x = S2DConvRelu(f, in_channels=cin, compute_dtype=compute_dtype,
                             name=f"{prefix}_{i + 1}")(x)
             cin = f
+        if isinstance(x, QAct):  # max commutes with the positive scale
+            return QAct(s2d_maxpool_to_plain(x.q, features[-1]), x.scale)
         return s2d_maxpool_to_plain(x, features[-1])
     for i, f in enumerate(features):
         x = ConvRelu(f, compute_dtype=compute_dtype,
                      name=f"{prefix}_{i + 1}")(x)
     if pool:
-        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        if isinstance(x, QAct):
+            # max commutes with the (positive) dequant scale: pool the
+            # int8 plane directly, half the pooling traffic of bf16
+            x = QAct(nn.max_pool(x.q, (2, 2), strides=(2, 2)), x.scale)
+        else:
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
     return x

@@ -38,4 +38,5 @@ class Hao28Pose(nn.Module):
             refine_convs=3, refine_kernel=3, refine_mid=128,
             remat=self.cfg.remat_stages,
             compute_dtype=d, name="stages")(feature)
-        return dict(conf=confs, paf=pafs, feature=feature)
+        return dict(conf=confs, paf=pafs,
+                    feature=common.dequant(feature))

@@ -37,4 +37,5 @@ class VGG19Pose(nn.Module):
             n_stages=self.cfg.n_stages, refine_kernel=7,
             remat=self.cfg.remat_stages,
             compute_dtype=d, name="stages")(feature)
-        return dict(conf=confs, paf=pafs, feature=feature)
+        return dict(conf=confs, paf=pafs,
+                    feature=common.dequant(feature))

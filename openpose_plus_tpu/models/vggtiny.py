@@ -36,4 +36,5 @@ class VGGTinyPose(nn.Module):
             n_stages=self.cfg.n_stages, refine_kernel=3, refine_convs=5,
             remat=self.cfg.remat_stages,
             compute_dtype=d, name="stages")(feature)
-        return dict(conf=confs, paf=pafs, feature=feature)
+        return dict(conf=confs, paf=pafs,
+                    feature=common.dequant(feature))

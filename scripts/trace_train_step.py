@@ -62,13 +62,18 @@ def main() -> None:
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--engine", action="store_true",
                     help="trace the inference engine step instead")
+    ap.add_argument("--dtype", default=None,
+                    help="compute dtype override (e.g. int8, bfloat16)")
     args = ap.parse_args()
 
     from openpose_plus_tpu.config import default_config
 
     cfg = default_config(args.model)
+    mkw = {"hin": args.hin, "win": args.win}
+    if args.dtype:
+        mkw["compute_dtype"] = args.dtype
     cfg = cfg.replace(
-        model=dataclasses.replace(cfg.model, hin=args.hin, win=args.win),
+        model=dataclasses.replace(cfg.model, **mkw),
         train=dataclasses.replace(cfg.train, batch_size=args.batch))
     rng = np.random.default_rng(0)
 
@@ -79,6 +84,7 @@ def main() -> None:
         eng = Engine(cfg, fast_init=True)
         images = jnp.asarray(rng.integers(
             0, 255, cfg.model.input_shape(args.batch), dtype=np.uint8))
+        eng.calibrate(images)  # no-op for float modes
         model, pcfg = eng.model, cfg.postproc
 
         @jax.jit
