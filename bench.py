@@ -183,6 +183,8 @@ def main() -> None:
         bench_engine("e2e_fps_single_368x432", "mobilenet_thin", 368, 432, 1)
         # BASELINE config #2: VGG19 single image
         bench_engine("e2e_fps_vgg19_single_368x656", "vgg19", 368, 656, 1)
+        # VGG19 serving batch (the int8 row's bf16 comparison point)
+        bench_engine("e2e_fps_vgg19_368x656_bs8", "vgg19", 368, 656, 8)
         # scaling headroom beyond the bs=8 headline (serving batch)
         bench_engine("e2e_fps_per_chip_368x656_bs32", "mobilenet_thin",
                      368, 656, 32)
