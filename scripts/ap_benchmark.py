@@ -40,6 +40,7 @@ BANK_DIR = os.path.join(HERE, ".ap_bench")
 
 MODELS = ("mobilenet_thin", "vggtiny", "hao28", "vgg19")
 VARIANTS = ("base", "fidelity", "fidelity_tta", "fidelity_tta_ms")
+EXTRA_VARIANTS = ("fidelity_int8",)  # opt-in via --int8
 SCALES = (0.5, 1.0, 1.5)
 
 # Benchmark geometry: 256px scenes letterboxed to 128x128 (16x16 output
@@ -129,6 +130,12 @@ def eval_variant(cfg, params, variant: str, dataset) -> dict:
     ecfg = cfg
     if variant != "base":
         ecfg = cfg.replace(postproc=cfg.postproc.fidelity())
+    if variant == "fidelity_int8":
+        # quantization QUALITY cost (the TensorRT int8-accuracy
+        # question): same float weights, int8 engine, scales
+        # auto-calibrated on the first eval batch
+        ecfg = ecfg.replace(model=dataclasses.replace(
+            ecfg.model, compute_dtype="int8"))
     eng = Engine(ecfg, params=params)
     kwargs = {}
     if variant in ("fidelity_tta", "fidelity_tta_ms"):
@@ -142,7 +149,8 @@ def eval_variant(cfg, params, variant: str, dataset) -> dict:
             "eval_seconds": round(time.perf_counter() - t0, 1)}
 
 
-def run_model(model: str, steps: int, lr: float, force: bool) -> None:
+def run_model(model: str, steps: int, lr: float, force: bool,
+              int8: bool = False) -> None:
     from openpose_plus_tpu.data.coco import CocoPoseDataset
     from openpose_plus_tpu.data.synthetic import make_scene_bank
 
@@ -151,7 +159,8 @@ def run_model(model: str, steps: int, lr: float, force: bool) -> None:
 
     res = _load_results()
     row = res.get(model, {})
-    missing = [v for v in VARIANTS
+    variants = VARIANTS + (EXTRA_VARIANTS if int8 else ())
+    missing = [v for v in variants
                if force or v not in row or row[v].get("steps") != steps]
     if not missing:
         print(f"[{model}] all variants recorded (use --force to redo)")
@@ -174,8 +183,12 @@ def run_model(model: str, steps: int, lr: float, force: bool) -> None:
 def print_table() -> None:
     res = _load_results()
     cols = ("base", "fidelity", "fidelity_tta", "fidelity_tta_ms")
-    print("| model | AP base | AP fidelity | AP +flip-TTA | AP +multiscale |")
-    print("|---|---|---|---|---|")
+    header = "| model | AP base | AP fidelity | AP +flip-TTA | AP +multiscale |"
+    if any("fidelity_int8" in row for row in res.values()):
+        cols = cols + ("fidelity_int8",)
+        header = header + " AP int8@fidelity |"
+    print(header)
+    print("|---|" + "---|" * len(cols))
     for model in MODELS:
         row = res.get(model)
         if not row:
@@ -194,6 +207,8 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=1000)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--force", action="store_true")
+    ap.add_argument("--int8", action="store_true",
+                    help="also evaluate the int8 engine at fidelity settings (quantization AP cost)")
     args = ap.parse_args()
 
     if args.table:
@@ -211,7 +226,7 @@ def main() -> None:
     if not models:
         raise SystemExit("pass --model NAME, --all, or --table")
     for m in models:
-        run_model(m, args.steps, args.lr, args.force)
+        run_model(m, args.steps, args.lr, args.force, int8=args.int8)
     print_table()
 
 
