@@ -102,6 +102,11 @@ def render_scene(rng: np.random.Generator, size: int
         poses.append(pose)
         centers.append((cx, cy, s))
 
+    # NOTE: colors here are nominal-RGB but the bank is SAVED channel-
+    # swapped — make_scene_bank writes with cv2.imwrite (BGR convention)
+    # and the loaders read it back consistently, so train/eval agree; only
+    # a human inspecting the .jpg files sees swapped R/B on the joints.
+    # Kept as-is because converting would invalidate every recorded AP.
     # render back-to-front so overlapping people occlude consistently
     for pose in poses:
         color = tuple(int(c) for c in rng.integers(120, 255, 3))

@@ -95,7 +95,9 @@ def train_model(model: str, steps: int, lr: float, ann: str, imgs: str):
     from openpose_plus_tpu.data.pipeline import TrainPipeline
 
     cfg = build_config(model, ann, imgs, steps, lr)
-    npz = os.path.join(BANK_DIR, f"{model}_s{steps}.npz")
+    # lr is part of the cache key: rerunning with a different --lr must
+    # retrain, not silently reuse weights trained at the old lr.
+    npz = os.path.join(BANK_DIR, f"{model}_s{steps}_lr{lr:g}.npz")
     state = T.create_train_state(cfg, jax.random.PRNGKey(0))
     if os.path.exists(npz):
         print(f"[{model}] reusing trained weights {npz}", flush=True)
@@ -161,7 +163,8 @@ def run_model(model: str, steps: int, lr: float, force: bool,
     row = res.get(model, {})
     variants = VARIANTS + (EXTRA_VARIANTS if int8 else ())
     missing = [v for v in variants
-               if force or v not in row or row[v].get("steps") != steps]
+               if force or v not in row or row[v].get("steps") != steps
+               or row[v].get("lr", lr) != lr]
     if not missing:
         print(f"[{model}] all variants recorded (use --force to redo)")
         return
@@ -170,7 +173,7 @@ def run_model(model: str, steps: int, lr: float, force: bool,
     val_set = CocoPoseDataset(val_ann, val_imgs)
     for variant in missing:
         out = eval_variant(cfg, params, variant, val_set)
-        out.update({"steps": steps, "n_val": N_VAL, "hin": HIN,
+        out.update({"steps": steps, "lr": lr, "n_val": N_VAL, "hin": HIN,
                     "bank_size": SIZE})
         row[variant] = out
         res[model] = row

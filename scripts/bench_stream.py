@@ -32,9 +32,13 @@ def make_photo_set(src_h: int, src_w: int, n: int, quality: int = 90) -> str:
     import numpy as np
     from PIL import Image
 
+    # v2: cache lives under the repo (not a predictable world-shared /tmp
+    # path another user could pre-populate); bump the version token with
+    # any generator change so stale sets are never trusted.
     key = hashlib.sha1(
-        f"{src_h}x{src_w}x{n}q{quality}v1".encode()).hexdigest()[:10]
-    out_dir = os.path.join("/tmp", f"pose_bench_photos_{key}")
+        f"{src_h}x{src_w}x{n}q{quality}v2".encode()).hexdigest()[:10]
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_dir = os.path.join(here, ".bench_photos", f"photos_{key}")
     marker = os.path.join(out_dir, ".complete")
     if os.path.exists(marker):
         return out_dir
