@@ -50,10 +50,18 @@ class TrainPipeline:
     def __init__(self, dataset: CocoPoseDataset, config: Config,
                  seed: int = 0, num_workers: Optional[int] = None,
                  max_people: int = 32, with_replacement: bool = False,
-                 shard_index: int = 0, shard_count: int = 1):
+                 shard_index: int = 0, shard_count: int = 1,
+                 cache_decoded: bool = False):
         self.ds = dataset
         self.cfg = config
         self.max_people = max_people
+        # cache_decoded: keep decoded RGB frames in RAM keyed by sample
+        # index (small benchmark banks revisit every image hundreds of
+        # times; JPEG decode would otherwise dominate the 2-core host).
+        # Augmentation still runs per draw — only the decode is cached.
+        self._img_cache: Optional[dict[int, np.ndarray]] = (
+            {} if cache_decoded else None)
+        self._img_cache_lock = threading.Lock()
         self.seed = seed
         self.num_workers = num_workers or config.data.num_workers
         self.with_replacement = with_replacement
@@ -116,7 +124,15 @@ class TrainPipeline:
                 i = int(self._draw_indices(1, rng)[0])
                 s = self.ds[i]
                 try:
-                    img = _load_image(s.image_path)
+                    if self._img_cache is not None:
+                        with self._img_cache_lock:
+                            img = self._img_cache.get(i)
+                        if img is None:
+                            img = _load_image(s.image_path)
+                            with self._img_cache_lock:
+                                self._img_cache[i] = img
+                    else:
+                        img = _load_image(s.image_path)
                     consecutive_skips = 0
                 except Exception as e:
                     # one bad file must not kill the worker (and, once all

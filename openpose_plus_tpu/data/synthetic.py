@@ -67,9 +67,16 @@ def _sample_person(rng: np.random.Generator, cx: float, cy: float,
     return pose
 
 
-def render_scene(rng: np.random.Generator, size: int
+def render_scene(rng: np.random.Generator, size: int,
+                 scale_div_lo: float = 48, scale_div_hi: float = 16,
+                 max_people: int = 6,
                  ) -> tuple[np.ndarray, list[dict[int, tuple[float, float]]]]:
-    """One clutter+crowd scene; returns (HxWx3 uint8, list of poses)."""
+    """One clutter+crowd scene; returns (HxWx3 uint8, list of poses).
+
+    Figure scale is log-uniform over size/scale_div_lo .. size/scale_div_hi
+    (the default spans ~3.5x); the "val_large" split overrides these to
+    produce few, frame-filling figures — the regime where down-scale TTA
+    is supposed to help."""
     import cv2
 
     base = int(rng.integers(10, 70))
@@ -81,12 +88,13 @@ def render_scene(rng: np.random.Generator, size: int
         color = tuple(int(c) for c in rng.integers(60, 160, 3))
         cv2.line(img, p0, p1, color, int(rng.integers(1, 3)))
 
-    n_people = int(rng.integers(1, 7))
+    n_people = int(rng.integers(1, max_people + 1))
     poses: list[dict[int, tuple[float, float]]] = []
     centers: list[tuple[float, float, float]] = []  # (cx, cy, s)
     for k in range(n_people):
         # log-uniform scale: ~size/48 (small background) .. size/16 (large)
-        s = float(np.exp(rng.uniform(np.log(size / 48), np.log(size / 16))))
+        s = float(np.exp(rng.uniform(np.log(size / scale_div_lo),
+                                     np.log(size / scale_div_hi))))
         if centers and rng.random() < 0.5:
             # crowd: drop next to an existing person (overlapping boxes)
             bx, by, bs = centers[int(rng.integers(0, len(centers)))]
@@ -136,15 +144,19 @@ def make_scene_bank(out_dir: str, split: str, n_images: int,
     if os.path.exists(os.path.join(bank, ".complete")):
         return ann_path, img_dir
     os.makedirs(img_dir, exist_ok=True)
-    seed = {"train": 1000, "val": 2000}.get(split)
+    seed = {"train": 1000, "val": 2000, "val_large": 3000}.get(split)
     if seed is None:
-        raise ValueError(f"unknown split {split!r} (train|val)")
+        raise ValueError(f"unknown split {split!r} (train|val|val_large)")
+    # val_large: few, frame-filling (often truncated) figures — the
+    # large-figure regime the multi-scale TTA study slices on.
+    style = ({"scale_div_lo": 24, "scale_div_hi": 10, "max_people": 3}
+             if split == "val_large" else {})
     rng = np.random.default_rng(seed + version * 10_000)
 
     images, annotations = [], []
     ann_id = 0
     for i in range(n_images):
-        img, poses = render_scene(rng, size)
+        img, poses = render_scene(rng, size, **style)
         for pose in poses:
             kp, n_vis = [], 0
             for c17 in range(17):

@@ -154,19 +154,33 @@ class Engine:
 
     def infer_multiscale(self, images: np.ndarray | jax.Array,
                          scales: tuple[float, ...] = (0.5, 1.0, 1.5),
-                         flip_tta: bool = False) -> HumanBatch:
+                         flip_tta: bool = False,
+                         combine: str = "avg") -> HumanBatch:
         """Scale-search TTA (the reference estimator's scale search): run
-        the CNN at several input scales, resize every map stack back to
-        the base output grid, average, decode ONCE — all inside one jit.
-        ~len(scales)x (2x more with flip_tta) the single-scale cost;
-        highest-AP serving mode."""
+        the CNN at several input scales — all inside one jit. Combiners:
+
+          "avg"    resize every map stack back to the base output grid,
+                   average, decode ONCE (the reference's combiner).
+          "dedup"  decode EACH scale at its own resolution and merge the
+                   skeletons by greedy OKS-NMS (postproc.decode.
+                   merge_dedup): each person is kept from whichever scale
+                   detects them best, instead of blurring all scales'
+                   maps together — avoids the map-average washing out
+                   figures only one scale resolves.
+
+        ~len(scales)x (2x more with flip_tta) the single-scale cost."""
+        if combine not in ("avg", "dedup"):
+            raise ValueError(f"combine must be 'avg' or 'dedup', "
+                             f"got {combine!r}")
         images = jnp.asarray(images)
         if self._needs_calibration():
             self.calibrate(images)
-        key = (tuple(scales), bool(flip_tta))
+        key = (tuple(scales), bool(flip_tta), combine)
         if key not in self._multiscale_cache:
+            impl = (_infer_multiscale_impl if combine == "avg"
+                    else _infer_multiscale_dedup_impl)
             self._multiscale_cache[key] = jax.jit(functools.partial(
-                _infer_multiscale_impl, model=self.model,
+                impl, model=self.model,
                 postproc_cfg=self.config.postproc, scales=key[0],
                 flip=key[1], stride=self.config.model.stride),
                 **self._jit_kw)
@@ -228,6 +242,18 @@ def _infer_impl(params, images, *, model, postproc_cfg) -> HumanBatch:
     return decode_maps(conf, paf, postproc_cfg)
 
 
+def _to_plain(images):
+    """s2d input layouts -> plain (B, H, W, 3): scale search resizes the
+    plain image, so convert once up front."""
+    if images.shape[-1] in (12, 48):
+        from openpose_plus_tpu.models.common import depth_to_space
+
+        if images.shape[-1] == 48:
+            images = depth_to_space(images, 12)
+        images = depth_to_space(images, 3)
+    return images
+
+
 def _infer_multiscale_impl(params, images, *, model, postproc_cfg, scales,
                            flip, stride) -> HumanBatch:
     """Average final-stage maps over input scales (+ optional flip) on the
@@ -235,13 +261,7 @@ def _infer_multiscale_impl(params, images, *, model, postproc_cfg, scales,
     backbone stride so every scale traces a valid static shape."""
     from openpose_plus_tpu.postproc.flip import mirror_maps
 
-    if images.shape[-1] in (12, 48):
-        # s2d layout: scale search resizes the plain image — convert once
-        from openpose_plus_tpu.models.common import depth_to_space
-
-        if images.shape[-1] == 48:
-            images = depth_to_space(images, 12)
-        images = depth_to_space(images, 3)
+    images = _to_plain(images)
     b, base_h, base_w = images.shape[0], images.shape[1], images.shape[2]
     hout, wout = base_h // stride, base_w // stride
     x0 = preprocess_images(images)
@@ -274,6 +294,41 @@ def _infer_multiscale_impl(params, images, *, model, postproc_cfg, scales,
             n += 1
     inv = 1.0 / n
     return decode_maps(conf_acc * inv, paf_acc * inv, postproc_cfg)
+
+
+def _infer_multiscale_dedup_impl(params, images, *, model, postproc_cfg,
+                                 scales, flip, stride,
+                                 oks_threshold: float = 0.5) -> HumanBatch:
+    """Per-scale decode + OKS-dedup merge (combine="dedup"): each scale's
+    maps are decoded AT THAT SCALE's resolution (within-scale flip TTA
+    still averages maps — mirror symmetry shares a geometry, scales do
+    not), then merge_dedup keeps each person from the best-detecting
+    scale. Normalized coords make the per-scale HumanBatches directly
+    comparable."""
+    from openpose_plus_tpu.postproc import merge_dedup
+    from openpose_plus_tpu.postproc.flip import mirror_maps
+
+    images = _to_plain(images)
+    b, base_h, base_w = images.shape[0], images.shape[1], images.shape[2]
+    x0 = preprocess_images(images)
+
+    def maps_at(x):
+        out = model.apply(params, x)
+        return out["conf"][-1].astype(jnp.float32), \
+            out["paf"][-1].astype(jnp.float32)
+
+    batches = []
+    for s in scales:
+        h = max(stride, int(round(base_h * s / stride)) * stride)
+        w = max(stride, int(round(base_w * s / stride)) * stride)
+        xi = x0 if (h, w) == (base_h, base_w) else jax.image.resize(
+            x0, (b, h, w, 3), method="linear")
+        conf, paf = maps_at(xi)
+        if flip:
+            conf_m, paf_m = mirror_maps(*maps_at(xi[:, :, ::-1]))
+            conf, paf = (conf + conf_m) * 0.5, (paf + paf_m) * 0.5
+        batches.append(decode_maps(conf, paf, postproc_cfg))
+    return merge_dedup(batches, oks_threshold)
 
 
 def _infer_tta_impl(params, images, *, model, postproc_cfg) -> HumanBatch:

@@ -251,14 +251,17 @@ def evaluate_engine(engine, dataset, batch_size: int = 8,
                     limit: Optional[int] = None,
                     distributed: bool = False,
                     flip_tta: bool = False,
-                    scales: Optional[tuple] = None) -> EvalResult:
+                    scales: Optional[tuple] = None,
+                    ms_combine: str = "avg") -> EvalResult:
     """Run the engine over a CocoPoseDataset slice and compute AP.
 
     With distributed=True each process evaluates its
     process_local_slice and detections are gathered across hosts;
     flip_tta averages horizontally-flipped predictions (higher AP);
     scales enables the reference estimator's multi-scale search
-    (e.g. (0.5, 1.0, 1.5) — maps averaged on the base grid).
+    (e.g. (0.5, 1.0, 1.5)); ms_combine picks its combiner — "avg"
+    (maps averaged on the base grid) or "dedup" (per-scale decode +
+    OKS-NMS merge; see Engine.infer_multiscale).
     """
     import jax
 
@@ -285,7 +288,8 @@ def evaluate_engine(engine, dataset, batch_size: int = 8,
         stack = np.stack(batch_imgs)
         if scales:
             humans = engine.infer_multiscale(stack, scales=tuple(scales),
-                                             flip_tta=flip_tta)
+                                             flip_tta=flip_tta,
+                                             combine=ms_combine)
         else:
             humans = engine.infer(stack, flip_tta=flip_tta)
         jax.block_until_ready(humans)

@@ -10,6 +10,7 @@ implementation that runs on the TPU (see SURVEY.md §2 "C++ PAF grouping").
 oracle for the fixed-shape JAX version.
 """
 
-from openpose_plus_tpu.postproc.decode import HumanBatch, build_decoder, decode_maps
+from openpose_plus_tpu.postproc.decode import (
+    HumanBatch, build_decoder, decode_maps, merge_dedup)
 
-__all__ = ["HumanBatch", "build_decoder", "decode_maps"]
+__all__ = ["HumanBatch", "build_decoder", "decode_maps", "merge_dedup"]

@@ -157,3 +157,84 @@ def decode_maps(conf: jax.Array, paf_map: jax.Array,
 def build_decoder(cfg: PostprocConfig):
     """jit-compiled standalone decoder fn(conf, paf) -> HumanBatch."""
     return jax.jit(functools.partial(decode_maps, cfg=cfg))
+
+
+# --------------------------------------------------------------- dedup ---
+# Per-part OKS falloff in OPENPOSE-18 ordering (COCO-17 sigmas routed
+# through skeleton.COCO_FROM_OPENPOSE; the neck, absent from COCO, gets
+# the shoulder-class sigma). Used by merge_dedup's greedy OKS-NMS.
+
+def _oks_sigmas_18():
+    import numpy as np
+
+    from openpose_plus_tpu import skeleton
+
+    sig = np.full(18, 0.079, np.float32)          # neck default
+    for c17, part in enumerate(skeleton.COCO_FROM_OPENPOSE):
+        sig[part] = skeleton.COCO_OKS_SIGMAS[c17]
+    return sig
+
+
+def _dedup_single(coords, part_scores, part_valid, score, n_parts, valid,
+                  *, thresh: float):
+    """Greedy OKS-NMS over one image's human rows (score-descending).
+
+    Rows arrive sorted (HumanBatch contract); a row is suppressed when a
+    higher-scored kept row overlaps it with skeleton-OKS > thresh. OKS uses
+    the keeper's valid-part bounding-box area as the scale (the COCOeval
+    convention of normalizing by the reference object's area), averaged
+    over parts BOTH rows carry; rows sharing no parts never suppress each
+    other (two half-bodies of one person are left for the caller's score
+    ranking to sort out)."""
+    n = coords.shape[0]
+    sig = jnp.asarray(_oks_sigmas_18())
+    var = (2.0 * sig) ** 2                                    # (18,)
+
+    d2 = jnp.sum((coords[:, None] - coords[None, :]) ** 2, -1)  # (N,N,18)
+    big = jnp.where(part_valid[..., None], coords, -jnp.inf)
+    small = jnp.where(part_valid[..., None], coords, jnp.inf)
+    ext = jnp.max(big, axis=1) - jnp.min(small, axis=1)         # (N,2)
+    has = n_parts > 0
+    area = jnp.where(has, ext[:, 0] * ext[:, 1], 0.0)
+    area = jnp.maximum(area, 1e-4)                              # (N,)
+
+    both = part_valid[:, None] & part_valid[None, :]            # (N,N,18)
+    e = d2 / (2.0 * area[:, None, None] * var + 1e-12)
+    oks = (jnp.sum(jnp.exp(-e) * both, -1)
+           / jnp.maximum(jnp.sum(both, -1), 1))                 # (N,N)
+
+    idx = jnp.arange(n)
+
+    def body(i, supp):
+        keep_i = valid[i] & ~supp[i]
+        row = (oks[i] > thresh) & (idx > i)
+        return jnp.where(keep_i, supp | row, supp)
+
+    supp = jax.lax.fori_loop(0, n, body, jnp.zeros(n, bool))
+    keep = valid & ~supp
+    order = jnp.argsort(-jnp.where(keep, score, -jnp.inf))
+    return HumanBatch(
+        coords=coords[order], part_scores=part_scores[order],
+        part_valid=part_valid[order] & keep[order, None],
+        score=jnp.where(keep, score, 0.0)[order],
+        n_parts=jnp.where(keep, n_parts, 0)[order],
+        valid=keep[order])
+
+
+def merge_dedup(batches, oks_threshold: float = 0.5) -> HumanBatch:
+    """Merge HumanBatches (e.g. one per TTA scale) by per-scale decode +
+    greedy OKS-NMS — the alternative multi-scale combiner to map
+    averaging: each person is taken from whichever scale detects them
+    best instead of blurring all scales' maps together. Coordinates are
+    normalized to input space, so rows from different scales are directly
+    comparable. Call inside jit (oks_threshold is static)."""
+    cat = HumanBatch(
+        coords=jnp.concatenate([b.coords for b in batches], axis=1),
+        part_scores=jnp.concatenate([b.part_scores for b in batches], 1),
+        part_valid=jnp.concatenate([b.part_valid for b in batches], 1),
+        score=jnp.concatenate([b.score for b in batches], 1),
+        n_parts=jnp.concatenate([b.n_parts for b in batches], 1),
+        valid=jnp.concatenate([b.valid for b in batches], 1))
+    return jax.vmap(functools.partial(_dedup_single, thresh=oks_threshold))(
+        cat.coords, cat.part_scores, cat.part_valid, cat.score,
+        cat.n_parts, cat.valid)

@@ -2,7 +2,7 @@
 
 Trains each zoo model on the seeded TRAIN scene bank and evaluates
 keypoint AP on the HELD-OUT val bank (openpose_plus_tpu/data/synthetic.py
-— crowds, overlap, 3x scale variation, truncation, clutter) under four
+— crowds, overlap, 3x scale variation, truncation, clutter) under
 cumulative inference settings, so the AP-improving machinery carries
 MEASURED deltas instead of docstring claims:
 
@@ -11,16 +11,41 @@ MEASURED deltas instead of docstring claims:
   +tta        fidelity + horizontal-flip TTA
   +multiscale fidelity + flip TTA + scale search (0.5, 1.0, 1.5)
 
-Results accumulate in ap_benchmark.json (repo root) keyed by model;
-existing (model, variant) entries are skipped unless --force, so the
-4-model table can be filled incrementally and any cell re-measured alone.
+Two geometry tiers (--geometry):
 
-    python scripts/ap_benchmark.py --model vggtiny          # one row
-    python scripts/ap_benchmark.py --all                    # all four
-    python scripts/ap_benchmark.py --table                  # markdown
+  small    256px scenes -> 128x128 input (16x16 maps). Cheap enough to
+           train the whole zoo; the r3 table's regime.
+  serving  736px scenes -> 368x432 input (46x54 maps) — the SAME engine
+           geometry the FPS tables quote, so quality and perf are
+           measured in one regime (r3 verdict item #1). Results keyed
+           "<model>@368" in ap_benchmark.json.
 
-The val split is NEVER trained on (disjoint generator seeds), unlike the
-r2 smoke proof which evaluated on its own training images.
+Extra studies:
+  --ms-study    also evaluate upper-only scale sets (1.0,1.5) and
+                (1.0,1.5,2.0) — the r3 multiscale negative traced to the
+                0.5x scale destroying small figures; these test that
+                diagnosis' direct prediction.
+  --large-bank  evaluate the small-tier weights on the val_large bank
+                (few frame-filling figures) under +tta and both scale
+                sets: the regime where down-scale TTA should win.
+                Results keyed "<model>+large".
+  --curve S1,S2,..  ONE continuous training run to max(S) with a
+                stretched lr schedule, weight snapshots at each S,
+                +tta AP per snapshot — the AP-vs-steps convergence
+                curve ("floors, not ceilings" -> a measurement).
+                Results keyed "<model>#curve".
+
+Results accumulate in ap_benchmark.json (repo root); existing
+(model, variant) entries are skipped unless --force, so tables fill
+incrementally and any cell can be re-measured alone.
+
+    python scripts/ap_benchmark.py --model vggtiny                # one row
+    python scripts/ap_benchmark.py --all                          # all four
+    python scripts/ap_benchmark.py --model mobilenet_thin --geometry serving
+    python scripts/ap_benchmark.py --model vggtiny --curve 4000,16000,32000,64000
+    python scripts/ap_benchmark.py --table                        # markdown
+
+The val splits are NEVER trained on (disjoint generator seeds).
 """
 
 from __future__ import annotations
@@ -40,14 +65,36 @@ BANK_DIR = os.path.join(HERE, ".ap_bench")
 
 MODELS = ("mobilenet_thin", "vggtiny", "hao28", "vgg19")
 VARIANTS = ("base", "fidelity", "fidelity_tta", "fidelity_tta_ms")
-EXTRA_VARIANTS = ("fidelity_int8",)  # opt-in via --int8
-SCALES = (0.5, 1.0, 1.5)
+EXTRA_VARIANTS = ("fidelity_int8",)   # opt-in via --int8
+MS_STUDY_VARIANTS = ("fidelity_tta_ms15", "fidelity_tta_msup",
+                     "fidelity_tta_msdd")
+LARGE_VARIANTS = ("fidelity", "fidelity_tta", "fidelity_tta_ms",
+                  "fidelity_tta_msup", "fidelity_tta_msdd")
 
-# Benchmark geometry: 256px scenes letterboxed to 128x128 (16x16 output
-# maps at stride 8) — small enough that a full train+eval per model fits
-# a dev session, large enough that figures span ~6..19 map pixels.
-SIZE, HIN = 256, 128
-N_TRAIN, N_VAL = 256, 96
+# Per-variant scale sets for the multi-scale search study. The shipped
+# default (0.5, 1.0, 1.5) measured NEGATIVE on the small-figure bank in
+# r3; ms15/msup are the upper-only sets its diagnosis predicts should
+# win there, and (0.5, 1.0, 1.5) is re-tested on val_large where the
+# 0.5x scale has a job to do.
+MS_SCALES = {
+    "fidelity_tta_ms": (0.5, 1.0, 1.5),
+    "fidelity_tta_ms15": (1.0, 1.5),
+    "fidelity_tta_msup": (1.0, 1.5, 2.0),
+    # same scale set as the shipped default, but per-scale decode +
+    # OKS-dedup merge instead of map averaging (Engine combine="dedup"):
+    # separates "the 0.5x scale hurts" from "the combiner hurts".
+    "fidelity_tta_msdd": (0.5, 1.0, 1.5),
+}
+
+# Geometry tiers. sigma/limb are GT label widths in input pixels: 5 px on
+# a 128px input ~= the figure-relative width of the reference's 8 px at
+# 368 (config.py DataConfig defaults).
+GEOMETRIES = {
+    "small": dict(size=256, hin=128, win=128, sigma=5.0, limb=5.0,
+                  n_train=256, n_val=96, tag="", key_suffix=""),
+    "serving": dict(size=736, hin=368, win=432, sigma=8.0, limb=8.0,
+                    n_train=256, n_val=96, tag="_h368", key_suffix="@368"),
+}
 
 
 def _load_results() -> dict:
@@ -63,18 +110,19 @@ def _save_results(res: dict) -> None:
         f.write("\n")
 
 
-def build_config(model: str, ann: str, imgs: str, steps: int, lr: float):
+def build_config(model: str, ann: str, imgs: str, steps: int, lr: float,
+                 geo: dict):
     from openpose_plus_tpu.config import default_config
 
     cfg = default_config(model)
     cfg = cfg.replace(
-        model=dataclasses.replace(cfg.model, hin=HIN, win=HIN),
+        model=dataclasses.replace(cfg.model, hin=geo["hin"], win=geo["win"]),
         data=dataclasses.replace(
             cfg.data, train_annotations=ann, train_images=imgs,
             num_workers=4, prefetch=4,
             # moderate augmentation: the bank already varies scale/rotation
             rotate_max_deg=15.0, scale_min=0.8, scale_max=1.15,
-            shift_frac=0.1, sigma=5.0, limb_width=5.0),
+            shift_frac=0.1, sigma=geo["sigma"], limb_width=geo["limb"]),
         train=dataclasses.replace(
             cfg.train, batch_size=8, lr_init=lr,
             lr_decay_every=max(steps // 2, 1), lr_decay_factor=0.33,
@@ -84,9 +132,12 @@ def build_config(model: str, ann: str, imgs: str, steps: int, lr: float):
     return cfg
 
 
-def train_model(model: str, steps: int, lr: float, ann: str, imgs: str):
+def train_model(model: str, steps: int, lr: float, ann: str, imgs: str,
+                geo: dict, snapshots: tuple[int, ...] = ()):
     """Train on the train bank; returns (cfg, params). Caches params as
-    .ap_bench/<model>_s<steps>.npz so eval variants never retrain."""
+    .ap_bench/<model>_s<steps>_lr<lr><tag>.npz so eval variants never
+    retrain; `snapshots` additionally saves mid-run weights at those step
+    counts (for the convergence curve) under the same schedule tag."""
     import jax
 
     from openpose_plus_tpu import checkpoint as ckpt
@@ -94,17 +145,22 @@ def train_model(model: str, steps: int, lr: float, ann: str, imgs: str):
     from openpose_plus_tpu.data.coco import CocoPoseDataset
     from openpose_plus_tpu.data.pipeline import TrainPipeline
 
-    cfg = build_config(model, ann, imgs, steps, lr)
-    # lr is part of the cache key: rerunning with a different --lr must
-    # retrain, not silently reuse weights trained at the old lr.
-    npz = os.path.join(BANK_DIR, f"{model}_s{steps}_lr{lr:g}.npz")
+    # lr and geometry are part of the cache key: rerunning with a
+    # different --lr/--geometry must retrain, not silently reuse weights.
+    def snap_path(s: int) -> str:
+        t = geo["tag"] + (f"_cv{steps}" if snapshots else "")
+        return os.path.join(BANK_DIR, f"{model}_s{s}_lr{lr:g}{t}.npz")
+
+    cfg = build_config(model, ann, imgs, steps, lr, geo)
+    want = sorted(set(snapshots) | {steps})
     state = T.create_train_state(cfg, jax.random.PRNGKey(0))
-    if os.path.exists(npz):
-        print(f"[{model}] reusing trained weights {npz}", flush=True)
-        return cfg, ckpt.load_npz(npz, state.params)
+    if all(os.path.exists(snap_path(s)) for s in want):
+        print(f"[{model}] reusing trained weights {snap_path(steps)}",
+              flush=True)
+        return cfg, ckpt.load_npz(snap_path(steps), state.params)
 
     dataset = CocoPoseDataset(ann, imgs)
-    pipeline = TrainPipeline(dataset, cfg, seed=0)
+    pipeline = TrainPipeline(dataset, cfg, seed=0, cache_decoded=True)
     step_fn = T.make_train_step_on_batch(cfg)
     it = iter(pipeline)
     t0 = time.perf_counter()
@@ -117,11 +173,12 @@ def train_model(model: str, steps: int, lr: float, ann: str, imgs: str):
                 loss_first = loss_last
             print(f"[{model}] step {i + 1}/{steps}: loss {loss_last:.2f} "
                   f"({time.perf_counter() - t0:.0f}s)", flush=True)
+        if (i + 1) in want:
+            ckpt.save_npz(snap_path(i + 1), state.params)
     pipeline.stop()
-    ckpt.save_npz(npz, state.params)
     print(f"[{model}] trained {steps} steps in "
           f"{time.perf_counter() - t0:.0f}s, loss {loss_first:.1f} -> "
-          f"{loss_last:.1f}; saved {npz}", flush=True)
+          f"{loss_last:.1f}; saved {snap_path(steps)}", flush=True)
     return cfg, state.params
 
 
@@ -140,66 +197,173 @@ def eval_variant(cfg, params, variant: str, dataset) -> dict:
             ecfg.model, compute_dtype="int8"))
     eng = Engine(ecfg, params=params)
     kwargs = {}
-    if variant in ("fidelity_tta", "fidelity_tta_ms"):
+    if variant.startswith("fidelity_tta"):
         kwargs["flip_tta"] = True
-    if variant == "fidelity_tta_ms":
-        kwargs["scales"] = SCALES
+    if variant in MS_SCALES:
+        kwargs["scales"] = MS_SCALES[variant]
+        if variant.endswith("dd"):
+            kwargs["ms_combine"] = "dedup"
     t0 = time.perf_counter()
     r = evaluate_engine(eng, dataset, batch_size=8, **kwargs)
-    return {"ap": round(r.ap, 4), "ap50": round(r.ap50, 4),
-            "ap75": round(r.ap75, 4), "ar": round(r.ar, 4),
-            "eval_seconds": round(time.perf_counter() - t0, 1)}
+    out = {"ap": round(r.ap, 4), "ap50": round(r.ap50, 4),
+           "ap75": round(r.ap75, 4), "ar": round(r.ar, 4),
+           "eval_seconds": round(time.perf_counter() - t0, 1)}
+    if variant in MS_SCALES:
+        out["scales"] = list(MS_SCALES[variant])
+    return out
+
+
+def _stamp(out: dict, steps: int, lr: float, geo: dict) -> dict:
+    out.update({"steps": steps, "lr": lr, "n_val": geo["n_val"],
+                "hin": geo["hin"], "bank_size": geo["size"]})
+    return out
 
 
 def run_model(model: str, steps: int, lr: float, force: bool,
-              int8: bool = False) -> None:
+              int8: bool = False, geometry: str = "small",
+              ms_study: bool = False) -> None:
     from openpose_plus_tpu.data.coco import CocoPoseDataset
     from openpose_plus_tpu.data.synthetic import make_scene_bank
 
-    train_ann, train_imgs = make_scene_bank(BANK_DIR, "train", N_TRAIN, SIZE)
-    val_ann, val_imgs = make_scene_bank(BANK_DIR, "val", N_VAL, SIZE)
+    geo = GEOMETRIES[geometry]
+    train_ann, train_imgs = make_scene_bank(
+        BANK_DIR, "train", geo["n_train"], geo["size"])
+    val_ann, val_imgs = make_scene_bank(
+        BANK_DIR, "val", geo["n_val"], geo["size"])
 
+    key = model + geo["key_suffix"]
     res = _load_results()
-    row = res.get(model, {})
-    variants = VARIANTS + (EXTRA_VARIANTS if int8 else ())
+    row = res.get(key, {})
+    variants = (VARIANTS + (EXTRA_VARIANTS if int8 else ())
+                + (MS_STUDY_VARIANTS if ms_study else ()))
     missing = [v for v in variants
                if force or v not in row or row[v].get("steps") != steps
                or row[v].get("lr", lr) != lr]
     if not missing:
-        print(f"[{model}] all variants recorded (use --force to redo)")
+        print(f"[{key}] all variants recorded (use --force to redo)")
         return
 
-    cfg, params = train_model(model, steps, lr, train_ann, train_imgs)
+    cfg, params = train_model(model, steps, lr, train_ann, train_imgs, geo)
     val_set = CocoPoseDataset(val_ann, val_imgs)
     for variant in missing:
-        out = eval_variant(cfg, params, variant, val_set)
-        out.update({"steps": steps, "lr": lr, "n_val": N_VAL, "hin": HIN,
-                    "bank_size": SIZE})
+        out = _stamp(eval_variant(cfg, params, variant, val_set),
+                     steps, lr, geo)
         row[variant] = out
-        res[model] = row
+        res = _load_results()
+        res[key] = {**res.get(key, {}), **row}
         _save_results(res)  # incremental: survive interruption
-        print(f"[{model}] {variant}: AP {out['ap']:.4f} "
+        print(f"[{key}] {variant}: AP {out['ap']:.4f} "
               f"AP50 {out['ap50']:.4f} AR {out['ar']:.4f} "
               f"({out['eval_seconds']}s)", flush=True)
 
 
+def run_large(model: str, steps: int, lr: float, force: bool) -> None:
+    """Evaluate small-tier weights on the val_large bank (few frame-
+    filling figures): the regime slice of the multi-scale TTA study."""
+    from openpose_plus_tpu.data.coco import CocoPoseDataset
+    from openpose_plus_tpu.data.synthetic import make_scene_bank
+
+    geo = GEOMETRIES["small"]
+    train_ann, train_imgs = make_scene_bank(
+        BANK_DIR, "train", geo["n_train"], geo["size"])
+    large_ann, large_imgs = make_scene_bank(
+        BANK_DIR, "val_large", geo["n_val"], geo["size"])
+
+    key = model + "+large"
+    res = _load_results()
+    row = res.get(key, {})
+    missing = [v for v in LARGE_VARIANTS
+               if force or v not in row or row[v].get("steps") != steps
+               or row[v].get("lr", lr) != lr]
+    if not missing:
+        print(f"[{key}] all variants recorded (use --force to redo)")
+        return
+
+    cfg, params = train_model(model, steps, lr, train_ann, train_imgs, geo)
+    val_set = CocoPoseDataset(large_ann, large_imgs)
+    for variant in missing:
+        out = _stamp(eval_variant(cfg, params, variant, val_set),
+                     steps, lr, geo)
+        out["bank"] = "val_large"
+        row[variant] = out
+        res = _load_results()
+        res[key] = {**res.get(key, {}), **row}
+        _save_results(res)
+        print(f"[{key}] {variant}: AP {out['ap']:.4f} "
+              f"AP50 {out['ap50']:.4f} AR {out['ar']:.4f} "
+              f"({out['eval_seconds']}s)", flush=True)
+
+
+def run_curve(model: str, steps_list: tuple[int, ...], lr: float,
+              force: bool, geometry: str = "small") -> None:
+    """One continuous run to max(steps_list) with a stretched lr schedule;
+    +tta AP at each snapshot -> the AP-vs-steps convergence curve."""
+    from openpose_plus_tpu import checkpoint as ckpt
+    from openpose_plus_tpu.data.coco import CocoPoseDataset
+    from openpose_plus_tpu.data.synthetic import make_scene_bank
+
+    geo = GEOMETRIES[geometry]
+    train_ann, train_imgs = make_scene_bank(
+        BANK_DIR, "train", geo["n_train"], geo["size"])
+    val_ann, val_imgs = make_scene_bank(
+        BANK_DIR, "val", geo["n_val"], geo["size"])
+
+    total = max(steps_list)
+    key = model + geo["key_suffix"] + "#curve"
+    res = _load_results()
+    row = res.get(key, {})
+    missing = [s for s in sorted(steps_list)
+               if force or str(s) not in row
+               or row[str(s)].get("schedule_steps") != total]
+    if not missing:
+        print(f"[{key}] curve recorded (use --force to redo)")
+        return
+
+    cfg, params = train_model(model, total, lr, train_ann, train_imgs, geo,
+                              snapshots=tuple(steps_list))
+    val_set = CocoPoseDataset(val_ann, val_imgs)
+    for s in missing:
+        tag = geo["tag"] + f"_cv{total}"
+        npz = os.path.join(BANK_DIR, f"{model}_s{s}_lr{lr:g}{tag}.npz")
+        p = params if s == total else ckpt.load_npz(npz, params)
+        out = _stamp(eval_variant(cfg, p, "fidelity_tta", val_set),
+                     s, lr, geo)
+        out["schedule_steps"] = total
+        row[str(s)] = out
+        res = _load_results()
+        res[key] = {**res.get(key, {}), **row}
+        _save_results(res)
+        print(f"[{key}] {s} steps: AP {out['ap']:.4f} "
+              f"AP50 {out['ap50']:.4f} ({out['eval_seconds']}s)", flush=True)
+
+
 def print_table() -> None:
     res = _load_results()
-    cols = ("base", "fidelity", "fidelity_tta", "fidelity_tta_ms")
-    header = "| model | AP base | AP fidelity | AP +flip-TTA | AP +multiscale |"
-    if any("fidelity_int8" in row for row in res.values()):
-        cols = cols + ("fidelity_int8",)
-        header = header + " AP int8@fidelity |"
-    print(header)
-    print("|---|" + "---|" * len(cols))
-    for model in MODELS:
-        row = res.get(model)
-        if not row:
+    for suffix, title in (("", "small tier (128x128 input)"),
+                          ("@368", "serving tier (368x432 input)"),
+                          ("+large", "val_large bank (small tier weights)")):
+        keys = [m for m in MODELS if (m + suffix) in res]
+        if not keys:
             continue
-        cells = []
-        for c in cols:
-            cells.append(f"{row[c]['ap']:.3f}" if c in row else "—")
-        print(f"| {model} | " + " | ".join(cells) + " |")
+        cols = VARIANTS + EXTRA_VARIANTS + MS_STUDY_VARIANTS
+        present = [c for c in cols
+                   if any(c in res[m + suffix] for m in keys)]
+        print(f"\n### {title}\n")
+        print("| model | " + " | ".join(present) + " |")
+        print("|---|" + "---|" * len(present))
+        for m in keys:
+            row = res[m + suffix]
+            cells = [f"{row[c]['ap']:.3f}" if c in row else "—"
+                     for c in present]
+            print(f"| {m} | " + " | ".join(cells) + " |")
+    curves = {k: v for k, v in res.items() if k.endswith("#curve")}
+    for k, row in sorted(curves.items()):
+        steps = sorted(int(s) for s in row)
+        print(f"\n### {k}\n")
+        print("| steps | " + " | ".join(str(s) for s in steps) + " |")
+        print("|---|" + "---|" * len(steps))
+        print("| AP (+tta) | "
+              + " | ".join(f"{row[str(s)]['ap']:.3f}" for s in steps) + " |")
 
 
 def main() -> None:
@@ -210,8 +374,20 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=1000)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--force", action="store_true")
+    ap.add_argument("--geometry", choices=tuple(GEOMETRIES), default="small")
     ap.add_argument("--int8", action="store_true",
-                    help="also evaluate the int8 engine at fidelity settings (quantization AP cost)")
+                    help="also evaluate the int8 engine at fidelity settings "
+                         "(quantization AP cost)")
+    ap.add_argument("--ms-study", action="store_true",
+                    help="also evaluate upper-only multiscale sets "
+                         "(1.0,1.5) and (1.0,1.5,2.0)")
+    ap.add_argument("--large-bank", action="store_true",
+                    help="evaluate on the val_large (frame-filling figures) "
+                         "bank instead of the standard tier")
+    ap.add_argument("--curve", type=str, default=None,
+                    help="comma-separated step counts, e.g. "
+                         "4000,16000,32000,64000: one continuous run, "
+                         "AP at each snapshot")
     args = ap.parse_args()
 
     if args.table:
@@ -229,7 +405,14 @@ def main() -> None:
     if not models:
         raise SystemExit("pass --model NAME, --all, or --table")
     for m in models:
-        run_model(m, args.steps, args.lr, args.force, int8=args.int8)
+        if args.curve:
+            steps_list = tuple(int(s) for s in args.curve.split(","))
+            run_curve(m, steps_list, args.lr, args.force, args.geometry)
+        elif args.large_bank:
+            run_large(m, args.steps, args.lr, args.force)
+        else:
+            run_model(m, args.steps, args.lr, args.force, int8=args.int8,
+                      geometry=args.geometry, ms_study=args.ms_study)
     print_table()
 
 

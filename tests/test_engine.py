@@ -66,6 +66,22 @@ def test_engine_fast_init_structure():
         assert x.shape == y.shape and x.dtype == y.dtype
 
 
+def test_engine_fast_init_same_program():
+    """The benched program IS the served program: bench.py measures a
+    fast_init engine (numpy-filled params), serving uses trained
+    checkpoints — both must lower infer() to byte-identical (Stable)HLO,
+    so the headline FPS describes the program users actually run.
+    Params only enter the program as shapes/dtypes, so this is expected;
+    the test pins it against e.g. value-dependent specializations."""
+    cfg = _tiny()
+    a = Engine(cfg, seed=0)                  # real-init (serving) params
+    b = Engine(cfg, seed=0, fast_init=True)  # the bench path
+    shape = jax.ShapeDtypeStruct((4, 64, 64, 3), np.uint8)
+    ta = a._infer.lower(a.params, shape).as_text()
+    tb = b._infer.lower(b.params, shape).as_text()
+    assert ta == tb
+
+
 @pytest.mark.slow
 def test_engine_multiscale_single_scale_matches_infer(rng):
     """scales=(1.0,) multi-scale == plain infer (same maps, one decode)."""
