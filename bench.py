@@ -196,6 +196,13 @@ def main() -> None:
         # rest of the model zoo (reference models_vggtiny / hao28)
         bench_engine("e2e_fps_vggtiny_368x656_bs8", "vggtiny", 368, 656, 8)
         bench_engine("e2e_fps_hao28_368x656_bs8", "hao28", 368, 656, 8)
+        # int8 across the dense zoo (r3 verdict item #3): vggtiny/hao28
+        # re-measured with the r3 int8 machinery (QAct residency,
+        # calibrated scales) — their only previous int8 numbers predate it
+        bench_engine("e2e_fps_vggtiny_int8_368x656_bs8", "vggtiny",
+                     368, 656, 8, dtype="int8")
+        bench_engine("e2e_fps_hao28_int8_368x656_bs8", "hao28",
+                     368, 656, 8, dtype="int8")
     finally:
         with open(os.path.join(here, "bench_details.json"), "w") as f:
             json.dump(results, f, indent=2)

@@ -239,7 +239,8 @@ def cmd_eval(args) -> int:
     res = evaluate_engine(eng, ds, batch_size=args.batch, limit=args.limit,
                           distributed=args.distributed,
                           flip_tta=args.flip_tta,
-                          scales=tuple(args.scales) if args.scales else None)
+                          scales=tuple(args.scales) if args.scales else None,
+                          ms_combine=args.ms_combine)
     print(json.dumps(res.as_dict()))
     return 0
 
@@ -340,6 +341,10 @@ def main(argv: Optional[list[str]] = None) -> int:
     p.add_argument("--scales", type=float, nargs="+", default=None,
                    help="multi-scale search, e.g. --scales 0.5 1.0 1.5 "
                         "(maps averaged on the base grid; higher AP)")
+    p.add_argument("--ms-combine", choices=("avg", "dedup"), default="avg",
+                   help="multi-scale combiner: avg = map averaging "
+                        "(reference-style), dedup = per-scale decode + "
+                        "OKS-NMS merge")
     p.add_argument("--flip-tta", action="store_true",
                    help="average horizontally-flipped predictions")
 

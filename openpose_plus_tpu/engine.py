@@ -194,9 +194,13 @@ class Engine:
         grow. No-op for float compute modes."""
         if "calib" not in self.params:
             return
-        _, updates = self.model.apply(
-            self.params, preprocess_images(jnp.asarray(images)),
-            mutable=["calib"])
+        if not hasattr(self, "_calib_fn"):
+            # jitted: an interpreted apply is hundreds of per-op dispatches
+            # (minutes over a remote-device tunnel); one compiled program
+            # makes implicit first-batch calibration cost one forward pass.
+            self._calib_fn = jax.jit(lambda p, x: self.model.apply(
+                p, preprocess_images(x), mutable=["calib"])[1])
+        updates = self._calib_fn(self.params, jnp.asarray(images))
         self.params = {**self.params, "calib": updates["calib"]}
         self._calibrated = True
 
