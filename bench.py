@@ -97,15 +97,20 @@ def _device_loop_seconds(engine, images, repeats: int = 3,
     import jax
     import jax.numpy as jnp
 
-    from openpose_plus_tpu.engine import preprocess_images
-    from openpose_plus_tpu.postproc import decode_maps
+    from openpose_plus_tpu.engine import infer_step
 
     model, pcfg = engine.model, engine.config.postproc
+    chunk = getattr(engine, "chunk", 0)
 
     def step(params, images, carry):
-        x = preprocess_images(images) + carry * 1e-12  # chain dependence
-        out = model.apply(params, x)
-        res = decode_maps(out["conf"][-1], out["paf"][-1], pcfg)
+        # Chain dependence: the select's predicate depends on the previous
+        # result (score sums are finite but XLA cannot prove the branch),
+        # so iterations execute sequentially; the benched program is the
+        # engine's own infer_step — including its chunked lowering.
+        images = jnp.where(jnp.isfinite(carry), images,
+                           jnp.zeros_like(images))
+        res = infer_step(params, images, model=model, postproc_cfg=pcfg,
+                         chunk=chunk)
         return jnp.sum(res.score)
 
     @jax.jit
@@ -137,11 +142,12 @@ def main() -> None:
     rng = np.random.default_rng(0)
     results = {}
 
-    def bench_engine(name, model, hin, win, batch, dtype="bfloat16"):
+    def bench_engine(name, model, hin, win, batch, dtype="bfloat16",
+                     chunk=0):
         cfg = default_config(model)
         cfg = cfg.replace(model=dataclasses.replace(
             cfg.model, hin=hin, win=win, compute_dtype=dtype))
-        eng = Engine(cfg, fast_init=True)
+        eng = Engine(cfg, fast_init=True, chunk=chunk)
         # Engine input layout of record = what the host loader emits for
         # this model (s2d² for the deep-s2d MobileNet stem, s2d for the
         # VGG-family block-grid stems, plain for int8 — common.py).
@@ -188,6 +194,11 @@ def main() -> None:
         # scaling headroom beyond the bs=8 headline (serving batch)
         bench_engine("e2e_fps_per_chip_368x656_bs32", "mobilenet_thin",
                      368, 656, 32)
+        # bs=32 served as lax.map over bs=8 sub-batches in ONE program:
+        # keeps the working set at the alternate-memory sweet spot
+        # (the bs=32 cliff fix — r3 verdict item #5)
+        bench_engine("e2e_fps_per_chip_368x656_bs32_chunk8",
+                     "mobilenet_thin", 368, 656, 32, chunk=8)
         # calibrated int8 serving (TensorRT int8 analogue): wins on the
         # FLOPs-bound dense VGG (+~30%); NOT used for mobilenet, which is
         # bandwidth-bound and regresses under int8 (measured; see README)

@@ -73,10 +73,15 @@ class Engine:
 
     def __init__(self, config: Optional[Config] = None,
                  params: Optional[Any] = None, seed: int = 0,
-                 fast_init: bool = False, mesh=None):
+                 fast_init: bool = False, mesh=None, chunk: int = 0):
         self.config = config or default_config()
         self.model = get_model(self.config.model)
         self.mesh = mesh
+        # chunk > 0: large batches run as lax.map over `chunk`-sized
+        # sub-batches inside the same jit (see infer_step) — keeps the
+        # per-step working set at the alternate-memory sweet spot when
+        # serving batches larger than it (the bs=32 cliff, BASELINE.md).
+        self.chunk = chunk
         if params is None:
             dummy = jnp.zeros(
                 (1, self.config.model.hin, self.config.model.win, 3),
@@ -124,8 +129,8 @@ class Engine:
                 NamedSharding(mesh, P()),
                 NamedSharding(mesh, P(mesh.axis_names[0]))))
         self._infer = jax.jit(functools.partial(
-            _infer_impl, model=self.model, postproc_cfg=self.config.postproc),
-            **jit_kw)
+            infer_step, model=self.model, postproc_cfg=self.config.postproc,
+            chunk=self.chunk), **jit_kw)
         self._infer_tta = jax.jit(functools.partial(
             _infer_tta_impl, model=self.model,
             postproc_cfg=self.config.postproc), **jit_kw)
@@ -244,6 +249,28 @@ def _forward_impl(params, images, *, model):
 def _infer_impl(params, images, *, model, postproc_cfg) -> HumanBatch:
     conf, paf = _forward_impl(params, images, model=model)
     return decode_maps(conf, paf, postproc_cfg)
+
+
+def infer_step(params, images, *, model, postproc_cfg,
+               chunk: int = 0) -> HumanBatch:
+    """The full engine step (preprocess -> CNN -> decode) as one traceable
+    function — shared by Engine.infer and bench.py so the benched program
+    is exactly the served one.
+
+    chunk > 0 and batch a larger multiple of it: the batch runs as a
+    `lax.map` over chunk-sized sub-batches INSIDE the same XLA program.
+    Throughput at the engine's optimal batch (bs=8 on v5e — larger
+    working sets spill out of alternate memory, the bs=32 cliff in
+    BASELINE.md) then extends to any multiple without paying per-dispatch
+    overhead per sub-batch."""
+    b = images.shape[0]
+    if chunk and b > chunk and b % chunk == 0:
+        im = images.reshape(b // chunk, chunk, *images.shape[1:])
+        res = jax.lax.map(
+            lambda t: _infer_impl(params, t, model=model,
+                                  postproc_cfg=postproc_cfg), im)
+        return jax.tree.map(lambda a: a.reshape(-1, *a.shape[2:]), res)
+    return _infer_impl(params, images, model=model, postproc_cfg=postproc_cfg)
 
 
 def _to_plain(images):

@@ -66,6 +66,24 @@ def test_engine_fast_init_structure():
         assert x.shape == y.shape and x.dtype == y.dtype
 
 
+def test_engine_chunked_infer_matches_unchunked(rng):
+    """chunk=N serves the batch as lax.map over N-sized sub-batches in one
+    program (large-batch alternate-memory fix); results must be identical
+    to the plain batched lowering."""
+    cfg = _tiny()
+    a = Engine(cfg, seed=0)
+    b = Engine(cfg, params=jax.device_get(a.params), chunk=2)
+    images = rng.integers(0, 255, (4, 64, 64, 3), dtype=np.uint8)
+    ra, rb = a.infer(images), b.infer(images)
+    np.testing.assert_array_equal(np.asarray(ra.valid), np.asarray(rb.valid))
+    np.testing.assert_allclose(np.asarray(ra.coords), np.asarray(rb.coords),
+                               atol=1e-6)
+    # non-multiple or small batches fall back to the plain path
+    small = rng.integers(0, 255, (1, 64, 64, 3), dtype=np.uint8)
+    rs = b.infer(small)
+    assert rs.coords.shape[0] == 1
+
+
 def test_engine_fast_init_same_program():
     """The benched program IS the served program: bench.py measures a
     fast_init engine (numpy-filled params), serving uses trained
