@@ -68,6 +68,25 @@ class ModelConfig:
             return 1
         return 0
 
+    def train_lowering(self) -> "ModelConfig":
+        """The stem lowering TRAINING programs build against
+        (create_train_state / make_train_step* / TrainPipeline) —
+        parameter-compatible with the serving lowering, so checkpoints
+        transfer either way (same module names, kernel shapes).
+
+        VGG19 is the one measured exception to "s2d stem everywhere": at
+        its 64-ch conv1 the block grid's 4x structural FLOPs — repaid in
+        the forward by un-starving the 3..64-lane convs — are charged
+        twice more in the backward (dX and dW both run the 4x-FLOP convs
+        at ~97% MXU). Measured bs=8 368x656: train step 84.1 -> 81.3 ms
+        with the plain stem (+3.3% imgs/s) while inference stays s2d
+        (292.9 vs 282.9 FPS); vggtiny/hao28 keep s2d for training too
+        (+17%/+19% over plain). docs/ARCHITECTURE.md "Round-4 profiling".
+        """
+        if self.name == "vgg19" and self.stem_s2d:
+            return dataclasses.replace(self, stem_s2d=False)
+        return self
+
     def input_shape(self, batch: int, level: int | None = None
                     ) -> tuple[int, int, int, int]:
         """uint8 input shape for a space-to-depth level (default: the

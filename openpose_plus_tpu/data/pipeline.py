@@ -68,7 +68,9 @@ class TrainPipeline:
         self._q: queue.Queue = queue.Queue(maxsize=config.data.prefetch)
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
-        self.s2d = config.model.preferred_input_layout()
+        # Layout of the TRAIN model's stem (train_lowering: e.g. vgg19
+        # trains with the plain stem even though it serves s2d).
+        self.s2d = config.model.train_lowering().preferred_input_layout()
         if self.s2d:
             from openpose_plus_tpu import native
 

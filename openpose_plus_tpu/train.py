@@ -86,7 +86,7 @@ def create_train_state(config: Config, rng: jax.Array) -> TrainState:
         raise ValueError(
             "int8 is a calibrated inference mode (Engine.calibrate); train "
             "in bfloat16/float32 — the same checkpoint then serves int8.")
-    model = get_model(config.model)
+    model = get_model(config.model.train_lowering())
     dummy = jnp.zeros((1, config.model.hin, config.model.win, 3), jnp.float32)
     params = model.init(rng, dummy)
     tx = make_optimizer(config.train)
@@ -98,7 +98,7 @@ def make_train_step(config: Config):
     """Build the jit'd train step. Donates the state buffers (in-place
     update on device). Works identically on 1 device or a full mesh: give
     sharded inputs and XLA handles the gradient reduction."""
-    model = get_model(config.model)
+    model = get_model(config.model.train_lowering())
     tx = make_optimizer(config.train)
 
     def step_fn(state: TrainState, images, gt_conf, gt_paf, mask):
@@ -128,7 +128,7 @@ def make_train_step_on_batch(config: Config):
     from openpose_plus_tpu.data.targets import make_targets_batch
     from openpose_plus_tpu.engine import preprocess_images
 
-    model = get_model(config.model)
+    model = get_model(config.model.train_lowering())
     tx = make_optimizer(config.train)
 
     def step_fn(state: TrainState, batch):
@@ -301,7 +301,7 @@ def _dump_vis(config: Config, state: TrainState, batch, step: int) -> None:
     from openpose_plus_tpu.models import get_model
     from openpose_plus_tpu.utils.vis import draw_maps_overlay
 
-    model = get_model(config.model)
+    model = get_model(config.model.train_lowering())
     images = batch["images"][:1]
     out = jax.jit(model.apply)(state.params, preprocess_images(images))
     pred = np.asarray(out["conf"][-1][0], np.float32)

@@ -65,7 +65,7 @@ def main() -> None:
     max_people = 8
     # images in the model's preferred input layout — exactly what the
     # train pipeline ships (host-side space-to-depth; data/pipeline.py)
-    img_shape = cfg.model.input_shape(args.batch)
+    img_shape = cfg.model.train_lowering().input_shape(args.batch)
     batch = {
         "images": jnp.asarray(rng.integers(
             0, 255, img_shape, dtype=np.uint8)),

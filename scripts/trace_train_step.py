@@ -106,7 +106,8 @@ def main() -> None:
         max_people = 8
         batch = {
             "images": jnp.asarray(rng.integers(
-                0, 255, cfg.model.input_shape(args.batch), dtype=np.uint8)),
+                0, 255, cfg.model.train_lowering().input_shape(args.batch),
+                dtype=np.uint8)),
             "keypoints": jnp.asarray(np.concatenate([
                 rng.uniform(0, args.win, (args.batch, max_people, 18, 1)),
                 rng.uniform(0, args.hin, (args.batch, max_people, 18, 1)),

@@ -266,3 +266,36 @@ def test_pipeline_emits_model_preferred_layout(tmp_path):
         assert bool(np.isfinite(float(metrics["loss"])))
     finally:
         pipe.stop()
+
+
+def test_train_lowering_plain_stem_for_vgg19():
+    """Training builds VGG19 with the PLAIN conv1 stem (the s2d block
+    grid's 4x structural FLOPs cost more in dX/dW than lane starvation
+    costs forward — measured 84.1 -> 81.3 ms/step at bs=8 368x656),
+    while serving keeps s2d. The lowerings are parameter-compatible, so
+    a state trained plain serves through the s2d engine unchanged."""
+    cfg = default_config("vgg19")
+    low = cfg.model.train_lowering()
+    assert not low.stem_s2d and cfg.model.stem_s2d
+    # train-side input layout is plain -> the pipeline must not s2d-pack
+    assert low.preferred_input_layout() == 0
+    assert low.input_shape(2) == (2, cfg.model.hin, cfg.model.win, 3)
+    # every other zoo model keeps its serving lowering for training
+    for name in ("mobilenet_thin", "vggtiny", "hao28"):
+        m = default_config(name).model
+        assert m.train_lowering() == m
+
+
+def test_train_lowering_step_runs_plain_batch_vgg19(rng):
+    """make_train_step_on_batch(vgg19) consumes the plain-layout batch
+    the (train_lowering-aware) pipeline now emits."""
+    cfg = default_config("vgg19")
+    cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model, hin=64, win=64, n_stages=2,
+                                  compute_dtype="float32"),
+        train=dataclasses.replace(cfg.train, batch_size=2, lr_init=3e-4,
+                                  weight_decay=0.0))
+    state = T.create_train_state(cfg, jax.random.PRNGKey(0))
+    step = T.make_train_step_on_batch(cfg)
+    state, metrics = step(state, _fake_batch(cfg, rng))
+    assert np.isfinite(float(metrics["loss"]))
