@@ -34,8 +34,48 @@ import os
 import time
 
 
+# TPU v5e (v5 lite) per-chip peaks — the denominators of the MFU /
+# roofline columns (same constants as docs/ARCHITECTURE.md's per-fusion
+# roofline analysis). bf16 MXU peak and HBM bandwidth.
+PEAK_TFLOPS_BF16 = 197.0
+PEAK_HBM_GBPS = 819.0
+
+
+def program_cost(jitted, *args) -> tuple[float, float]:
+    """(flops, hbm bytes) of ONE execution of a jitted program, from XLA's
+    own per-op analytic cost model (compiled.cost_analysis()): conv/matmul
+    FLOPs are exact for static shapes; 'bytes accessed' counts bytes at
+    fusion boundaries — an UPPER BOUND on physical DRAM traffic, since
+    buffers resident in on-chip/alternate memory are still counted.
+    hbm_pct_est can therefore exceed 100 on models whose working set fits
+    there (measured: the mobilenet engine reports ~135); it is a traffic
+    bound for cross-row comparison, not a measured DMA rate — the
+    measured per-fusion rates live in docs/ARCHITECTURE.md's trace
+    analysis."""
+    compiled = jitted.lower(*args).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):   # older JAX returned [dict]
+        ca = ca[0]
+    return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+
+
+def utilization_row(flops: float, nbytes: float, dt: float) -> dict:
+    """Achieved TFLOP/s + %%-of-MXU-peak (MFU) and estimated HBM GB/s +
+    %%-of-bandwidth-roofline for one program execution taking dt seconds."""
+    tflops = flops / dt / 1e12
+    gbps = nbytes / dt / 1e9
+    return {
+        "flops_per_exec": flops,
+        "achieved_tflops": round(tflops, 2),
+        "mfu_pct": round(100.0 * tflops / PEAK_TFLOPS_BF16, 1),
+        "hbm_gbps_est": round(gbps, 1),
+        "hbm_pct_est": round(100.0 * gbps / PEAK_HBM_GBPS, 1),
+    }
+
+
 def fori_slope_seconds(loop_fn, carry0, repeats: int = 3,
-                       target_seconds: float = 0.4) -> float:
+                       target_seconds: float = 0.4,
+                       samples: list | None = None) -> float:
     """Best in-program seconds per iteration of a jitted device loop.
 
     `loop_fn(n, carry) -> carry` must run n chained iterations of the
@@ -87,11 +127,14 @@ def fori_slope_seconds(loop_fn, carry0, repeats: int = 3,
         raise RuntimeError(
             "fori_slope_seconds: no positive slope sample in "
             f"{3 * repeats} passes — rig too degraded to measure")
+    if samples is not None:
+        samples.extend(slopes)          # run-to-run spread for the record
     return float(np.median(slopes))
 
 
 def _device_loop_seconds(engine, images, repeats: int = 3,
-                         target_seconds: float = 0.4) -> float:
+                         target_seconds: float = 0.4,
+                         samples: list | None = None) -> float:
     """fori_slope_seconds over the full engine step (preprocess -> CNN ->
     decode), each iteration's input perturbed by the previous result."""
     import jax
@@ -120,7 +163,8 @@ def _device_loop_seconds(engine, images, repeats: int = 3,
 
     return fori_slope_seconds(
         lambda n, c: loop(engine.params, images, n, c),
-        jnp.float32(0.0), repeats=repeats, target_seconds=target_seconds)
+        jnp.float32(0.0), repeats=repeats, target_seconds=target_seconds,
+        samples=samples)
 
 
 def main() -> None:
@@ -155,16 +199,33 @@ def main() -> None:
         images = jax.device_put(jnp.asarray(rng.integers(
             0, 255, shape, dtype=np.uint8)))
         eng.calibrate(images)  # no-op for float modes
-        dt = _device_loop_seconds(eng, images)
-        results[name] = round(batch / dt, 2)
+        samples: list = []
+        dt = _device_loop_seconds(eng, images, samples=samples)
+        row = {"fps": round(batch / dt, 2), "batch": batch,
+               "spread_pct": round(
+                   100.0 * (max(samples) - min(samples)) / dt, 1)}
+        try:
+            # utilization accounting (r4 verdict item #5): FLOPs + bytes of
+            # the exact served program, from XLA's cost model. For int8
+            # engines mfu_pct stays vs the bf16 peak (int8 MXU peak is 2x,
+            # so its true utilization is half the printed figure — the
+            # column is for cross-row comparability).
+            flops, nbytes = program_cost(eng._infer, eng.params, images)
+            row.update(utilization_row(flops, nbytes, dt))
+            row["flops_per_image"] = round(flops / batch)
+        except Exception as e:   # cost model unavailable: keep FPS row
+            row["cost_analysis_error"] = str(e)[:200]
+        results[name] = row
+        return row
 
     # headline: BASELINE config #3 (bs=8 @368x656) on the flagship model.
     # Printed IMMEDIATELY (engine compiles dominate wall-clock on this rig;
     # the secondary configs below must not delay the headline line).
-    bench_engine("e2e_fps_per_chip_368x656_bs8", "mobilenet_thin", 368, 656, 8)
+    head = bench_engine("e2e_fps_per_chip_368x656_bs8",
+                        "mobilenet_thin", 368, 656, 8)
 
     here = os.path.dirname(os.path.abspath(__file__))
-    value = results["e2e_fps_per_chip_368x656_bs8"]
+    value = head["fps"]
     baseline_path = os.path.join(here, "bench_baseline.json")
     if os.path.exists(baseline_path):
         base = json.load(open(baseline_path))["value"]
@@ -179,6 +240,9 @@ def main() -> None:
         "value": value,
         "unit": "frames/s",
         "vs_baseline": round(value / base, 3),
+        "mfu_pct": head.get("mfu_pct"),
+        "hbm_pct_est": head.get("hbm_pct_est"),
+        "spread_pct": head.get("spread_pct"),
     }), flush=True)
 
     if os.environ.get("BENCH_HEADLINE_ONLY"):

@@ -235,6 +235,14 @@ def cmd_eval(args) -> int:
     from openpose_plus_tpu.eval_coco import evaluate_engine
 
     eng = _build_engine(args)
+    if args.calib_images:
+        paths = sorted(
+            p for p in glob.glob(os.path.join(args.calib_images, "*"))
+            if p.lower().endswith((".jpg", ".jpeg", ".png", ".bmp")))
+        if not paths:
+            print(f"no images under {args.calib_images}", file=sys.stderr)
+            return 2
+        eng.calibrate_from_paths(paths[:args.calib_count])
     ds = CocoPoseDataset(args.annotations, args.images)
     res = evaluate_engine(eng, ds, batch_size=args.batch, limit=args.limit,
                           distributed=args.distributed,
@@ -347,6 +355,12 @@ def main(argv: Optional[list[str]] = None) -> int:
                         "OKS-NMS merge")
     p.add_argument("--flip-tta", action="store_true",
                    help="average horizontally-flipped predictions")
+    p.add_argument("--calib-images", default=None,
+                   help="directory of train-side images to calibrate int8 "
+                        "activation scales on (TensorRT calibration-set "
+                        "protocol); default: first eval batch")
+    p.add_argument("--calib-count", type=int, default=8,
+                   help="number of calibration images to use")
 
     p = sub.add_parser("train", help="train a model (see train.py flags)")
 

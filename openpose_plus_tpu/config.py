@@ -83,7 +83,7 @@ class ModelConfig:
         (292.9 vs 282.9 FPS); vggtiny/hao28 keep s2d for training too
         (+17%/+19% over plain). docs/ARCHITECTURE.md "Round-4 profiling".
         """
-        if self.name == "vgg19" and self.stem_s2d:
+        if self.name in ("vgg19", "vgg") and self.stem_s2d:
             return dataclasses.replace(self, stem_s2d=False)
         return self
 
@@ -182,6 +182,20 @@ class TrainConfig:
     # model averaging), "pair-avg" (PairAveraging gossip as deterministic
     # hypercube rounds — parallel/kungfu.py).
     kf_optimizer: str = "sync-sgd"
+    # lr x geometry transfer. The per-stage loss SUMS squared error over
+    # map pixels, so its scale grows with output-map area — but Adam is
+    # invariant to loss scale (test_train.py::test_adam_loss_scale_
+    # invariance), so "area-normalize the loss" would change NOTHING about
+    # stability. What does change with area is the loss curvature: more
+    # pixel terms -> a sharper landscape -> a lower stable lr. Measured
+    # (BASELINE.md r4/r5): vgg19 trains at lr 1e-3 on 16x16 maps but
+    # diverges at 46x54, where ~3e-4 is stable — consistent with
+    # lr ∝ 1/sqrt(out_area) (sqrt(2484/256) = 3.1x). "inv-sqrt-area"
+    # applies that rule: effective lr = lr_init * sqrt(lr_ref_area /
+    # (hout*wout)), so ONE lr_init transfers across geometry tiers.
+    # "none" = reference parity (lr_init used as-is at every geometry).
+    lr_scaling: str = "none"       # "none" | "inv-sqrt-area"
+    lr_ref_area: int = 256         # out-map area lr_init was tuned at (16x16)
     log_every: int = 100
     checkpoint_every: int = 5000
     checkpoint_dir: str = "checkpoints"

@@ -209,6 +209,24 @@ class Engine:
         self.params = {**self.params, "calib": updates["calib"]}
         self._calibrated = True
 
+    def calibrate_from_paths(self, paths, batch_size: int = 8) -> None:
+        """Calibrate int8 activation scales from image FILES — the TensorRT
+        protocol's held-out calibration set (train-side images), as opposed
+        to the implicit first-eval-batch fallback. Images are letterboxed
+        to the engine geometry; no-op for float compute modes."""
+        if "calib" not in self.params:
+            return
+        from openpose_plus_tpu.data.augment import letterbox
+        from openpose_plus_tpu.data.pipeline import _load_image
+
+        m = self.config.model
+        imgs = [letterbox(_load_image(p), m.hin, m.win)[0] for p in paths]
+        for i in range(0, len(imgs), batch_size):
+            chunk = imgs[i:i + batch_size]
+            while len(chunk) < batch_size:   # pad: scales only grow, so
+                chunk.append(chunk[-1])      # repeats are harmless
+            self.calibrate(np.stack(chunk))
+
     def _needs_calibration(self) -> bool:
         if "calib" not in self.params:
             return False

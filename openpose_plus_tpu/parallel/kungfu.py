@@ -92,8 +92,12 @@ def make_kungfu_steps(config: Config, mesh: Mesh, strategy: str
     if strategy == "pair-avg" and (n & (n - 1) or n < 2):
         raise ValueError(f"pair-avg hypercube gossip needs a power-of-two "
                          f"device count, got {n}")
-    model = get_model(config.model)
-    tx = make_optimizer(config.train)
+    # same lowering contract as train.py: training programs build against
+    # train_lowering() (vgg19 trains plain-stem), so kungfu strategies run
+    # the same program as the default trainer they parity-test
+    model = get_model(config.model.train_lowering())
+    out_area = config.model.hout * config.model.wout
+    tx = make_optimizer(config.train, out_area)
 
     def step_fn(state: TrainState, batch, *, rnd: int):
         # shard_map keeps the mapped replica axis as a size-1 leading dim;
@@ -127,7 +131,7 @@ def make_kungfu_steps(config: Config, mesh: Mesh, strategy: str
         new_state = jax.tree.map(lambda x: x[None], new_state)  # replica axis
         # metrics are per-worker; average for logging (out_spec is P()).
         metrics = jax.lax.pmean(dict(metrics, loss=loss), axis)
-        metrics["lr"] = lr_schedule(config.train)(state.step)
+        metrics["lr"] = lr_schedule(config.train, out_area)(state.step)
         return new_state, metrics
 
     n_rounds = max(1, n.bit_length() - 1) if strategy == "pair-avg" else 1

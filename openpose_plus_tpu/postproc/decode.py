@@ -179,13 +179,22 @@ def _dedup_single(coords, part_scores, part_valid, score, n_parts, valid,
                   *, thresh: float):
     """Greedy OKS-NMS over one image's human rows (score-descending).
 
-    Rows arrive sorted (HumanBatch contract); a row is suppressed when a
-    higher-scored kept row overlaps it with skeleton-OKS > thresh. OKS uses
-    the keeper's valid-part bounding-box area as the scale (the COCOeval
-    convention of normalizing by the reference object's area), averaged
-    over parts BOTH rows carry; rows sharing no parts never suppress each
-    other (two half-bodies of one person are left for the caller's score
-    ranking to sort out)."""
+    Rows are re-sorted by descending score FIRST: each input batch is
+    sorted (HumanBatch contract), but merge_dedup concatenates several
+    batches, and greedy NMS run in concatenation order would give the
+    first scale suppression priority over better-scored rows from later
+    scales (the r4 ordering bug — a 0.6-scored duplicate could kill the
+    0.9 original). A row is suppressed when a higher-scored kept row
+    overlaps it with skeleton-OKS > thresh. OKS uses the keeper's
+    valid-part bounding-box area as the scale (the COCOeval convention of
+    normalizing by the reference object's area), averaged over parts BOTH
+    rows carry; rows sharing no parts never suppress each other (two
+    half-bodies of one person are left for the caller's score ranking to
+    sort out)."""
+    pre = jnp.argsort(-jnp.where(valid, score, -jnp.inf))
+    coords, part_scores, part_valid, score, n_parts, valid = (
+        coords[pre], part_scores[pre], part_valid[pre], score[pre],
+        n_parts[pre], valid[pre])
     n = coords.shape[0]
     sig = jnp.asarray(_oks_sigmas_18())
     var = (2.0 * sig) ** 2                                    # (18,)

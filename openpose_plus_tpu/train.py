@@ -31,18 +31,37 @@ class TrainState:
     opt_state: Any
 
 
-def lr_schedule(cfg: TrainConfig) -> optax.Schedule:
+def effective_lr_init(cfg: TrainConfig, out_area: Optional[int] = None
+                      ) -> float:
+    """lr_init after the geometry-transfer rule (TrainConfig.lr_scaling).
+
+    "inv-sqrt-area" scales by sqrt(lr_ref_area / out_area): the pose loss
+    sums over map pixels, so curvature grows ~linearly with output-map
+    area and the stable lr shrinks ~1/sqrt(area) (Adam; loss NORMALIZATION
+    is a no-op under Adam's scale invariance — see TrainConfig). Measured:
+    the rule maps the zoo default 1e-3 at 16x16 maps to 3.2e-4 at 46x54,
+    within 7% of the hand-tuned stable vgg19@368 lr (BASELINE.md)."""
+    if cfg.lr_scaling == "none" or out_area is None:
+        return cfg.lr_init
+    if cfg.lr_scaling != "inv-sqrt-area":
+        raise ValueError(f"unknown lr_scaling {cfg.lr_scaling!r}")
+    return cfg.lr_init * float(cfg.lr_ref_area / out_area) ** 0.5
+
+
+def lr_schedule(cfg: TrainConfig, out_area: Optional[int] = None
+                ) -> optax.Schedule:
     """Stepwise-decay schedule (reference config.TRAIN: lr_init with
     factor decay every lr_decay_every steps, staircase)."""
     return optax.exponential_decay(
-        init_value=cfg.lr_init,
+        init_value=effective_lr_init(cfg, out_area),
         transition_steps=cfg.lr_decay_every,
         decay_rate=cfg.lr_decay_factor,
         staircase=True)
 
 
-def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
-    sched = lr_schedule(cfg)
+def make_optimizer(cfg: TrainConfig, out_area: Optional[int] = None
+                   ) -> optax.GradientTransformation:
+    sched = lr_schedule(cfg, out_area)
     if cfg.optimizer == "adam":
         tx = optax.adam(sched)
     elif cfg.optimizer == "momentum":
@@ -89,7 +108,7 @@ def create_train_state(config: Config, rng: jax.Array) -> TrainState:
     model = get_model(config.model.train_lowering())
     dummy = jnp.zeros((1, config.model.hin, config.model.win, 3), jnp.float32)
     params = model.init(rng, dummy)
-    tx = make_optimizer(config.train)
+    tx = make_optimizer(config.train, config.model.hout * config.model.wout)
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                       opt_state=tx.init(params))
 
@@ -99,7 +118,7 @@ def make_train_step(config: Config):
     update on device). Works identically on 1 device or a full mesh: give
     sharded inputs and XLA handles the gradient reduction."""
     model = get_model(config.model.train_lowering())
-    tx = make_optimizer(config.train)
+    tx = make_optimizer(config.train, config.model.hout * config.model.wout)
 
     def step_fn(state: TrainState, images, gt_conf, gt_paf, mask):
         def loss_fn(params):
@@ -113,7 +132,9 @@ def make_train_step(config: Config):
         new_state = TrainState(step=state.step + 1, params=params,
                                opt_state=opt_state)
         metrics = dict(metrics, loss=loss,
-                       lr=lr_schedule(config.train)(state.step))
+                       lr=lr_schedule(config.train,
+                                      config.model.hout
+                                      * config.model.wout)(state.step))
         return new_state, metrics
 
     donate = (0,) if config.train.donate_state else ()
@@ -129,7 +150,7 @@ def make_train_step_on_batch(config: Config):
     from openpose_plus_tpu.engine import preprocess_images
 
     model = get_model(config.model.train_lowering())
-    tx = make_optimizer(config.train)
+    tx = make_optimizer(config.train, config.model.hout * config.model.wout)
 
     def step_fn(state: TrainState, batch):
         images = preprocess_images(batch["images"])
@@ -148,7 +169,9 @@ def make_train_step_on_batch(config: Config):
         new_state = TrainState(step=state.step + 1, params=params,
                                opt_state=opt_state)
         metrics = dict(metrics, loss=loss,
-                       lr=lr_schedule(config.train)(state.step))
+                       lr=lr_schedule(config.train,
+                                      config.model.hout
+                                      * config.model.wout)(state.step))
         return new_state, metrics
 
     donate = (0,) if config.train.donate_state else ()
@@ -340,12 +363,19 @@ def main(argv: Optional[list[str]] = None) -> None:
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--metrics-csv", default=None,
                    help="append per-log-interval metrics rows here")
+    p.add_argument("--lr-scaling", default=None,
+                   choices=["none", "inv-sqrt-area"],
+                   help="geometry-transfer lr rule: inv-sqrt-area scales "
+                        "lr_init by sqrt(lr_ref_area/(hout*wout)) so one "
+                        "lr transfers across input geometries")
     args = p.parse_args(argv)
 
     from openpose_plus_tpu.config import default_config
 
     cfg = default_config(args.model)
     tr = dataclasses.replace(cfg.train, kf_optimizer=args.kf_optimizer)
+    if args.lr_scaling:
+        tr = dataclasses.replace(tr, lr_scaling=args.lr_scaling)
     if args.batch_size:
         tr = dataclasses.replace(tr, batch_size=args.batch_size)
     if args.checkpoint_dir:

@@ -111,7 +111,7 @@ def _save_results(res: dict) -> None:
 
 
 def build_config(model: str, ann: str, imgs: str, steps: int, lr: float,
-                 geo: dict):
+                 geo: dict, lr_scaling: str = "none"):
     from openpose_plus_tpu.config import default_config
 
     cfg = default_config(model)
@@ -124,7 +124,7 @@ def build_config(model: str, ann: str, imgs: str, steps: int, lr: float,
             rotate_max_deg=15.0, scale_min=0.8, scale_max=1.15,
             shift_frac=0.1, sigma=geo["sigma"], limb_width=geo["limb"]),
         train=dataclasses.replace(
-            cfg.train, batch_size=8, lr_init=lr,
+            cfg.train, batch_size=8, lr_init=lr, lr_scaling=lr_scaling,
             lr_decay_every=max(steps // 2, 1), lr_decay_factor=0.33,
             weight_decay=0.0, log_every=100, checkpoint_every=10 ** 9,
             checkpoint_dir=os.path.join(BANK_DIR, f"ck_{model}")),
@@ -133,7 +133,8 @@ def build_config(model: str, ann: str, imgs: str, steps: int, lr: float,
 
 
 def train_model(model: str, steps: int, lr: float, ann: str, imgs: str,
-                geo: dict, snapshots: tuple[int, ...] = ()):
+                geo: dict, snapshots: tuple[int, ...] = (),
+                lr_scaling: str = "none"):
     """Train on the train bank; returns (cfg, params). Caches params as
     .ap_bench/<model>_s<steps>_lr<lr><tag>.npz so eval variants never
     retrain; `snapshots` additionally saves mid-run weights at those step
@@ -149,9 +150,11 @@ def train_model(model: str, steps: int, lr: float, ann: str, imgs: str,
     # different --lr/--geometry must retrain, not silently reuse weights.
     def snap_path(s: int) -> str:
         t = geo["tag"] + (f"_cv{steps}" if snapshots else "")
+        if lr_scaling != "none":
+            t += "_lrs"
         return os.path.join(BANK_DIR, f"{model}_s{s}_lr{lr:g}{t}.npz")
 
-    cfg = build_config(model, ann, imgs, steps, lr, geo)
+    cfg = build_config(model, ann, imgs, steps, lr, geo, lr_scaling)
     want = sorted(set(snapshots) | {steps})
     state = T.create_train_state(cfg, jax.random.PRNGKey(0))
     if all(os.path.exists(snap_path(s)) for s in want):
@@ -182,7 +185,8 @@ def train_model(model: str, steps: int, lr: float, ann: str, imgs: str,
     return cfg, state.params
 
 
-def eval_variant(cfg, params, variant: str, dataset) -> dict:
+def eval_variant(cfg, params, variant: str, dataset,
+                 calib_dataset=None) -> dict:
     from openpose_plus_tpu.engine import Engine
     from openpose_plus_tpu.eval_coco import evaluate_engine
 
@@ -191,11 +195,15 @@ def eval_variant(cfg, params, variant: str, dataset) -> dict:
         ecfg = cfg.replace(postproc=cfg.postproc.fidelity())
     if variant == "fidelity_int8":
         # quantization QUALITY cost (the TensorRT int8-accuracy
-        # question): same float weights, int8 engine, scales
-        # auto-calibrated on the first eval batch
+        # question): same float weights, int8 engine
         ecfg = ecfg.replace(model=dataclasses.replace(
             ecfg.model, compute_dtype="int8"))
     eng = Engine(ecfg, params=params)
+    if variant == "fidelity_int8" and calib_dataset is not None:
+        # TensorRT protocol: activation scales come from a TRAIN-side
+        # calibration set, never the eval images (r4 verdict item #6)
+        eng.calibrate_from_paths(
+            [calib_dataset[i].image_path for i in range(8)])
     kwargs = {}
     if variant.startswith("fidelity_tta"):
         kwargs["flip_tta"] = True
@@ -221,7 +229,7 @@ def _stamp(out: dict, steps: int, lr: float, geo: dict) -> dict:
 
 def run_model(model: str, steps: int, lr: float, force: bool,
               int8: bool = False, geometry: str = "small",
-              ms_study: bool = False) -> None:
+              ms_study: bool = False, lr_scaling: str = "none") -> None:
     from openpose_plus_tpu.data.coco import CocoPoseDataset
     from openpose_plus_tpu.data.synthetic import make_scene_bank
 
@@ -232,6 +240,9 @@ def run_model(model: str, steps: int, lr: float, force: bool,
         BANK_DIR, "val", geo["n_val"], geo["size"])
 
     key = model + geo["key_suffix"]
+    if lr_scaling != "none":
+        # the lr-rule proof runs live beside the hand-tuned rows
+        key += "#lrrule"
     res = _load_results()
     row = res.get(key, {})
     variants = (VARIANTS + (EXTRA_VARIANTS if int8 else ())
@@ -243,10 +254,13 @@ def run_model(model: str, steps: int, lr: float, force: bool,
         print(f"[{key}] all variants recorded (use --force to redo)")
         return
 
-    cfg, params = train_model(model, steps, lr, train_ann, train_imgs, geo)
+    cfg, params = train_model(model, steps, lr, train_ann, train_imgs, geo,
+                              lr_scaling=lr_scaling)
     val_set = CocoPoseDataset(val_ann, val_imgs)
+    calib_set = CocoPoseDataset(train_ann, train_imgs)
     for variant in missing:
-        out = _stamp(eval_variant(cfg, params, variant, val_set),
+        out = _stamp(eval_variant(cfg, params, variant, val_set,
+                                  calib_dataset=calib_set),
                      steps, lr, geo)
         row[variant] = out
         res = _load_results()
@@ -255,6 +269,119 @@ def run_model(model: str, steps: int, lr: float, force: bool,
         print(f"[{key}] {variant}: AP {out['ap']:.4f} "
               f"AP50 {out['ap50']:.4f} AR {out['ar']:.4f} "
               f"({out['eval_seconds']}s)", flush=True)
+
+
+def run_oracle(force: bool, geometry: str = "small") -> None:
+    """Quality-axis CEILING: decode GROUND-TRUTH conf/paf maps (rendered
+    by data/targets.py at the tier's label geometry, exactly what training
+    regresses toward) through the SAME decoder configs the model rows use.
+
+    The oracle AP splits the gap to 1.0 into parts (r4 verdict item #2):
+
+      perfect   GT keypoints straight into the evaluator — protocol
+                sanity, must be ~1.0
+      base      GT maps -> default decoder
+      fidelity  GT maps -> fidelity decoder (the model rows' regime)
+
+    oracle-fidelity is the ceiling any model can reach at this tier: the
+    model rows' remaining gap BELOW it is model-limited; the ceiling's own
+    gap to 1.0 is decoder+label-geometry-limited. Results keyed
+    "oracle<tier>" in ap_benchmark.json; no training involved.
+    """
+    import jax
+    import numpy as np
+
+    from openpose_plus_tpu.config import PostprocConfig
+    from openpose_plus_tpu.data.coco import CocoPoseDataset
+    from openpose_plus_tpu.data.synthetic import make_scene_bank
+    from openpose_plus_tpu.data.targets import make_targets
+    from openpose_plus_tpu.eval_coco import (Detection,
+                                             evaluate_detections_full,
+                                             humans_to_detections)
+    from openpose_plus_tpu.postproc import build_decoder
+
+    geo = GEOMETRIES[geometry]
+    val_ann, val_imgs = make_scene_bank(
+        BANK_DIR, "val", geo["n_val"], geo["size"])
+    val_set = CocoPoseDataset(val_ann, val_imgs)
+
+    key = "oracle" + geo["key_suffix"]
+    res = _load_results()
+    row = res.get(key, {})
+    variants = [v for v in ("perfect", "base", "fidelity")
+                if force or v not in row]
+    if not variants:
+        print(f"[{key}] all oracle variants recorded (use --force)")
+        return
+
+    hin, win, stride = geo["hin"], geo["win"], 8
+    hout, wout = hin // stride, win // stride
+    samples = [val_set[i] for i in range(len(val_set))]
+    maxp = max(s.keypoints.shape[0] for s in samples)
+    gt_by_image = {s.image_id: (s.keypoints_coco, s.areas, s.ignore_boxes)
+                   for s in samples}
+
+    # letterbox transforms (no pixel decode needed — dims are in the anno)
+    metas = []
+    for s in samples:
+        scale = min(win / s.width, hin / s.height)
+        pad = (win / 2 - scale * s.width / 2, hin / 2 - scale * s.height / 2)
+        metas.append((s.image_id, scale, pad))
+
+    def input_space_kp(s, scale, pad):
+        kp = np.zeros((maxp, 18, 3), np.float32)
+        k = s.keypoints
+        kp[: k.shape[0], :, 0] = k[:, :, 0] * scale + pad[0]
+        kp[: k.shape[0], :, 1] = k[:, :, 1] * scale + pad[1]
+        kp[: k.shape[0], :, 2] = k[:, :, 2]
+        return kp
+
+    render = jax.jit(jax.vmap(lambda kp: make_targets(
+        kp, hout, wout, stride, geo["sigma"], geo["limb"])))
+
+    for variant in variants:
+        t0 = time.perf_counter()
+        if variant == "perfect":
+            dets = []
+            for s in samples:
+                for g in s.keypoints_coco:
+                    kp = np.asarray(g, np.float32).copy()
+                    kp[:, 2] = np.where(kp[:, 2] > 0, 1.0, 0.0)
+                    dets.append(Detection(image_id=s.image_id,
+                                          keypoints=kp, score=1.0))
+        else:
+            pcfg = PostprocConfig()
+            if variant == "fidelity":
+                pcfg = pcfg.fidelity()
+            decoder = build_decoder(pcfg)
+            dets = []
+            bs = 8
+            for i in range(0, len(samples), bs):
+                chunk = samples[i:i + bs]
+                kps = np.stack([
+                    input_space_kp(s, metas[i + j][1], metas[i + j][2])
+                    for j, s in enumerate(chunk)]
+                    + [np.zeros((maxp, 18, 3), np.float32)] * (bs - len(chunk)))
+                conf, paf = render(jax.numpy.asarray(kps))
+                humans = decoder(conf, paf)
+                jax.block_until_ready(humans)
+                for j in range(len(chunk)):
+                    img_id, scale, pad = metas[i + j]
+                    dets.extend(humans_to_detections(
+                        humans, j, img_id, scale, pad, hin, win))
+        r = evaluate_detections_full(dets, gt_by_image)
+        out = {"ap": round(r.ap, 4), "ap50": round(r.ap50, 4),
+               "ap75": round(r.ap75, 4), "ar": round(r.ar, 4),
+               "n_val": geo["n_val"], "hin": hin,
+               "bank_size": geo["size"], "sigma": geo["sigma"],
+               "eval_seconds": round(time.perf_counter() - t0, 1)}
+        row[variant] = out
+        res = _load_results()
+        res[key] = {**res.get(key, {}), **row}
+        _save_results(res)
+        print(f"[{key}] {variant}: AP {out['ap']:.4f} "
+              f"AP50 {out['ap50']:.4f} AP75 {out['ap75']:.4f} "
+              f"AR {out['ar']:.4f} ({out['eval_seconds']}s)", flush=True)
 
 
 def run_large(model: str, steps: int, lr: float, force: bool) -> None:
@@ -375,6 +502,10 @@ def main() -> None:
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--force", action="store_true")
     ap.add_argument("--geometry", choices=tuple(GEOMETRIES), default="small")
+    ap.add_argument("--lr-scaling", choices=("none", "inv-sqrt-area"),
+                    default="none",
+                    help="train with the geometry-transfer lr rule; results "
+                         "record under <model><tier>#lrrule")
     ap.add_argument("--int8", action="store_true",
                     help="also evaluate the int8 engine at fidelity settings "
                          "(quantization AP cost)")
@@ -384,6 +515,9 @@ def main() -> None:
     ap.add_argument("--large-bank", action="store_true",
                     help="evaluate on the val_large (frame-filling figures) "
                          "bank instead of the standard tier")
+    ap.add_argument("--oracle", action="store_true",
+                    help="decode GT maps through the decoder configs: the "
+                         "quality-axis ceiling rows (no training)")
     ap.add_argument("--curve", type=str, default=None,
                     help="comma-separated step counts, e.g. "
                          "4000,16000,32000,64000: one continuous run, "
@@ -401,6 +535,11 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     os.makedirs(BANK_DIR, exist_ok=True)
 
+    if args.oracle:
+        run_oracle(args.force, args.geometry)
+        print_table()
+        return
+
     models = MODELS if args.all else ((args.model,) if args.model else ())
     if not models:
         raise SystemExit("pass --model NAME, --all, or --table")
@@ -412,7 +551,8 @@ def main() -> None:
             run_large(m, args.steps, args.lr, args.force)
         else:
             run_model(m, args.steps, args.lr, args.force, int8=args.int8,
-                      geometry=args.geometry, ms_study=args.ms_study)
+                      geometry=args.geometry, ms_study=args.ms_study,
+                      lr_scaling=args.lr_scaling)
     print_table()
 
 

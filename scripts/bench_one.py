@@ -52,15 +52,23 @@ def main() -> None:
     images = jax.device_put(jnp.asarray(
         rng.integers(0, 255, shape, dtype=np.uint8)))
     eng.calibrate(images)  # no-op for float modes
-    dt = bench._device_loop_seconds(eng, images)
-    print(json.dumps({
+    samples: list = []
+    dt = bench._device_loop_seconds(eng, images, samples=samples)
+    out = {
         "metric": (f"e2e_fps_{args.model}_{args.dtype}_"
                    f"{args.hin}x{args.win}_bs{args.batch}"
                    + (f"_chunk{args.chunk}" if args.chunk else "")),
         "value": round(args.batch / dt, 2),
         "unit": "frames/s",
         "ms_per_batch": round(dt * 1e3, 3),
-    }), flush=True)
+        "spread_pct": round(100.0 * (max(samples) - min(samples)) / dt, 1),
+    }
+    try:
+        flops, nbytes = bench.program_cost(eng._infer, eng.params, images)
+        out.update(bench.utilization_row(flops, nbytes, dt))
+    except Exception as e:
+        out["cost_analysis_error"] = str(e)[:200]
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -47,14 +47,18 @@ def main() -> None:
         train=dataclasses.replace(cfg.train, batch_size=args.batch))
 
     state = T.create_train_state(cfg, jax.random.PRNGKey(0))
-    model = get_model(cfg.model)
+    # measure the SAME lowering the full train step runs (train_lowering():
+    # vgg19 trains with the plain stem while serving keeps s2d)
+    train_model_cfg = cfg.model.train_lowering()
+    model = get_model(train_model_cfg)
     tstep = T.make_train_step_on_batch(cfg)
 
     rng = np.random.default_rng(0)
     max_people = 8
     batch = {
         "images": jnp.asarray(rng.integers(
-            0, 255, cfg.model.input_shape(args.batch), dtype=np.uint8)),
+            0, 255, train_model_cfg.input_shape(args.batch),
+            dtype=np.uint8)),
         "keypoints": jnp.asarray(np.concatenate([
             rng.uniform(0, args.win, (args.batch, max_people, 18, 1)),
             rng.uniform(0, args.hin, (args.batch, max_people, 18, 1)),

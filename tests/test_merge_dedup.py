@@ -50,6 +50,19 @@ def test_dedup_suppresses_duplicates():
     assert float(out.score[0, 0]) == pytest.approx(0.9)
 
 
+def test_dedup_lower_score_first_keeps_best():
+    """Adversarial ordering (the r4 bug): the LOWER-scored duplicate
+    arrives in the FIRST batch (concatenation order would give it
+    suppression priority). Greedy NMS must still keep the 0.9 row —
+    suppression runs in global score order, not input order."""
+    p = _person(0.5, 0.5)
+    lo = _mk_batch([p + 0.003], [0.6])
+    hi = _mk_batch([p], [0.9])
+    out = merge_dedup([lo, hi])
+    assert int(out.num_humans[0]) == 1
+    assert float(out.score[0, 0]) == pytest.approx(0.9)
+
+
 def test_dedup_keeps_distinct_people():
     a = _mk_batch([_person(0.25, 0.3)], [0.8])
     b = _mk_batch([_person(0.75, 0.7)], [0.7])
