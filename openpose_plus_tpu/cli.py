@@ -42,6 +42,9 @@ def _build_engine(args) -> "Engine":
     cfg = cfg.replace(model=mc)
     if getattr(args, "fidelity", False):
         cfg = cfg.replace(postproc=cfg.postproc.fidelity())
+    if getattr(args, "frag_merge", 0.0):
+        cfg = cfg.replace(postproc=dataclasses.replace(
+            cfg.postproc, fragment_merge_rel=args.frag_merge))
     params = None
     if args.checkpoint:
         from openpose_plus_tpu import checkpoint as ckpt
@@ -70,6 +73,12 @@ def _engine_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--int8", action="store_true",
                    help="calibrated int8 serving (TensorRT int8 analogue; "
                         "calibrates activation scales on the first batch)")
+    p.add_argument("--frag-merge", type=float, default=0.0, metavar="REL",
+                   help="fragment-merge repair pass: re-join disjoint-part "
+                        "skeletons closer than REL x the larger fragment's "
+                        "bbox diagonal (0 = off; 0.5 = tuned setting). "
+                        "Recovers truncated people the bottom-up assembly "
+                        "structurally fragments")
 
 
 def cmd_infer(args) -> int:

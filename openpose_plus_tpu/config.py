@@ -135,12 +135,23 @@ class PostprocConfig:
     # rest).
     upsample_factor: int = 2
     smooth_sigma: float = 1.25   # Gaussian smoothing before NMS (pixels)
+    # Fragment-merge repair pass (postproc/decode.py ::
+    # _merge_fragments_single): bottom-up assembly structurally fragments
+    # truncated/occluded people (visible parts = disconnected limb
+    # subgraph); this greedily re-joins disjoint-part skeletons closer
+    # than rel x the larger fragment's bbox diagonal. 0 disables
+    # (reference-parity default); 0.5 is the train-bank-oracle-tuned
+    # setting (BASELINE.md r5 "quality ceiling").
+    fragment_merge_rel: float = 0.0
+    fragment_merge_rounds: int = 8
 
-    def fidelity(self) -> "PostprocConfig":
-        """Reference-style high-fidelity settings (8x maps, deep peak cap)
-        for AP-parity evaluation."""
+    def fidelity(self, upsample: int = 8) -> "PostprocConfig":
+        """Reference-style high-fidelity settings (input-resolution maps,
+        deep peak cap) for AP-parity evaluation. `upsample` should equal
+        the model's output stride so grouping runs at input resolution
+        (8 for the standard zoo; 4 for stride-4 output variants)."""
         import dataclasses as _dc
-        return _dc.replace(self, max_peaks=32, upsample_factor=8,
+        return _dc.replace(self, max_peaks=32, upsample_factor=upsample,
                            smooth_sigma=5.0)
 
 

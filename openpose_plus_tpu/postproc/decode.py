@@ -127,6 +127,14 @@ def _decode_single(conf: jax.Array, paf_map: jax.Array,
 
     count = subsets.count
     mean_score = jnp.where(count > 0, subsets.score / jnp.maximum(count, 1), 0.0)
+    if cfg.fragment_merge_rel > 0:
+        # repair structural fragmentation BEFORE the min-parts filter so
+        # sub-threshold fragments can combine into a valid person
+        coords, part_scores, part_valid, mean_score, count = \
+            _merge_fragments_single(
+                coords, part_scores, part_valid, mean_score, count,
+                w=w, h=h, rel_threshold=cfg.fragment_merge_rel,
+                rounds=cfg.fragment_merge_rounds)
     valid = ((count >= cfg.min_parts_per_human)
              & (mean_score > cfg.min_human_score))
 
@@ -157,6 +165,79 @@ def decode_maps(conf: jax.Array, paf_map: jax.Array,
 def build_decoder(cfg: PostprocConfig):
     """jit-compiled standalone decoder fn(conf, paf) -> HumanBatch."""
     return jax.jit(functools.partial(decode_maps, cfg=cfg))
+
+
+# ----------------------------------------------------- fragment merge ---
+
+def _merge_fragments_single(coords, part_scores, part_valid, score, count,
+                            *, w: int, h: int, rel_threshold: float,
+                            rounds: int):
+    """Greedy fragment merge over one image's assembled skeletons.
+
+    Bottom-up PAF assembly structurally FRAGMENTS truncated/occluded
+    people: when the visible parts form a disconnected subgraph of the
+    limb tree (e.g. head + lower legs with the hips out of frame), no
+    limb candidate can ever join the components, so they surface as
+    separate low-part skeletons whose OKS vs the whole person is capped
+    at parts/17 (< 0.5) — measured as 37 of the 55 oracle-ceiling misses
+    on the serving val bank (BASELINE.md r5 "quality ceiling").
+
+    Repair pass: up to `rounds` times, merge the spatially closest pair
+    of skeletons whose part sets are DISJOINT and whose minimum
+    part-to-part distance is <= rel_threshold x the larger fragment's
+    bbox diagonal (scale-relative, so big and small figures use the
+    same rule). The threshold was tuned on the TRAIN bank's GT-map
+    oracle (+4.8 AP there) and frozen before touching val. Runs before
+    the min-parts validity filter so sub-threshold fragments can
+    combine into a valid person.
+    """
+    m = coords.shape[0]
+    px = coords * jnp.asarray([w, h], coords.dtype)        # (M, 18, 2)
+
+    def body(_, state):
+        px_, psc, pvd, sc, cnt = state
+        # pairwise min part distance over currently-valid part pairs
+        d = jnp.linalg.norm(px_[:, None, :, None] - px_[None, :, None, :],
+                            axis=-1)                        # (M, M, 18, 18)
+        pair_ok = pvd[:, None, :, None] & pvd[None, :, None, :]
+        mind = jnp.min(jnp.where(pair_ok, d, jnp.inf), axis=(2, 3))
+        big = jnp.where(pvd[..., None], px_, -jnp.inf)
+        small = jnp.where(pvd[..., None], px_, jnp.inf)
+        ext = jnp.max(big, axis=1) - jnp.min(small, axis=1)  # (M, 2)
+        diag = jnp.sqrt(jnp.maximum(
+            jnp.sum(jnp.where(cnt[:, None] > 0, ext, 0.0) ** 2, -1), 1e-6))
+        rel = mind / jnp.maximum(jnp.maximum(diag[:, None], diag[None, :]),
+                                 1e-3)
+        shared = jnp.any(pvd[:, None] & pvd[None, :], axis=-1)
+        live = cnt > 0
+        iu = jnp.triu(jnp.ones((m, m), bool), k=1)
+        elig = (iu & ~shared & live[:, None] & live[None, :]
+                & (rel <= rel_threshold))
+        rel = jnp.where(elig, rel, jnp.inf)
+        flat = jnp.argmin(rel)
+        i, j = flat // m, flat % m
+        do = jnp.isfinite(rel.reshape(-1)[flat])
+        # merge j into i (masked no-op when nothing is eligible)
+        oi = (jnp.arange(m) == i)
+        oj = (jnp.arange(m) == j)
+        take = pvd[j]                                        # (18,)
+        upd = oi[:, None] & take[None, :] & do
+        px_ = jnp.where(upd[..., None], px_[j][None], px_)
+        psc = jnp.where(upd, psc[j][None], psc)
+        pvd = pvd | upd
+        tot = cnt[i] + cnt[j]
+        sc_i = (sc[i] * cnt[i] + sc[j] * cnt[j]) / jnp.maximum(tot, 1)
+        sc = jnp.where(oi & do, sc_i, sc)
+        cnt = jnp.where(oi & do, tot, jnp.where(oj & do, 0, cnt))
+        pvd = jnp.where(oj[:, None] & do, False, pvd)
+        return px_, psc, pvd, sc, cnt
+
+    px, part_scores, part_valid, score, count = jax.lax.fori_loop(
+        0, rounds, body, (px, part_scores, part_valid, score, count))
+    coords = px / jnp.asarray([w, h], px.dtype)
+    coords = jnp.where(part_valid[..., None], coords, 0.0)
+    part_scores = jnp.where(part_valid, part_scores, 0.0)
+    return coords, part_scores, part_valid, score, count
 
 
 # --------------------------------------------------------------- dedup ---

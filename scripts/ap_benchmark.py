@@ -68,6 +68,9 @@ VARIANTS = ("base", "fidelity", "fidelity_tta", "fidelity_tta_ms")
 EXTRA_VARIANTS = ("fidelity_int8",)   # opt-in via --int8
 MS_STUDY_VARIANTS = ("fidelity_tta_ms15", "fidelity_tta_msup",
                      "fidelity_tta_msdd")
+# fragment-merge repair pass (PostprocConfig.fragment_merge_rel=0.5, the
+# train-bank-oracle-tuned setting) — opt-in via --frag-merge
+FM_VARIANTS = ("fidelity_fm", "fidelity_tta_fm")
 LARGE_VARIANTS = ("fidelity", "fidelity_tta", "fidelity_tta_ms",
                   "fidelity_tta_msup", "fidelity_tta_msdd")
 
@@ -193,6 +196,9 @@ def eval_variant(cfg, params, variant: str, dataset,
     ecfg = cfg
     if variant != "base":
         ecfg = cfg.replace(postproc=cfg.postproc.fidelity())
+    if variant.endswith("_fm"):
+        ecfg = ecfg.replace(postproc=dataclasses.replace(
+            ecfg.postproc, fragment_merge_rel=0.5))
     if variant == "fidelity_int8":
         # quantization QUALITY cost (the TensorRT int8-accuracy
         # question): same float weights, int8 engine
@@ -229,7 +235,8 @@ def _stamp(out: dict, steps: int, lr: float, geo: dict) -> dict:
 
 def run_model(model: str, steps: int, lr: float, force: bool,
               int8: bool = False, geometry: str = "small",
-              ms_study: bool = False, lr_scaling: str = "none") -> None:
+              ms_study: bool = False, lr_scaling: str = "none",
+              frag_merge: bool = False) -> None:
     from openpose_plus_tpu.data.coco import CocoPoseDataset
     from openpose_plus_tpu.data.synthetic import make_scene_bank
 
@@ -246,7 +253,8 @@ def run_model(model: str, steps: int, lr: float, force: bool,
     res = _load_results()
     row = res.get(key, {})
     variants = (VARIANTS + (EXTRA_VARIANTS if int8 else ())
-                + (MS_STUDY_VARIANTS if ms_study else ()))
+                + (MS_STUDY_VARIANTS if ms_study else ())
+                + (FM_VARIANTS if frag_merge else ()))
     missing = [v for v in variants
                if force or v not in row or row[v].get("steps") != steps
                or row[v].get("lr", lr) != lr]
@@ -271,7 +279,8 @@ def run_model(model: str, steps: int, lr: float, force: bool,
               f"({out['eval_seconds']}s)", flush=True)
 
 
-def run_oracle(force: bool, geometry: str = "small") -> None:
+def run_oracle(force: bool, geometry: str = "small", out_stride: int = 8,
+               label_sigma: float | None = None) -> None:
     """Quality-axis CEILING: decode GROUND-TRUTH conf/paf maps (rendered
     by data/targets.py at the tier's label geometry, exactly what training
     regresses toward) through the SAME decoder configs the model rows use.
@@ -287,6 +296,14 @@ def run_oracle(force: bool, geometry: str = "small") -> None:
     model rows' remaining gap BELOW it is model-limited; the ceiling's own
     gap to 1.0 is decoder+label-geometry-limited. Results keyed
     "oracle<tier>" in ap_benchmark.json; no training involved.
+
+    Attribution probes (each a cheap oracle re-run, keyed with a suffix):
+      out_stride=4    render GT maps at stride 4 (4x the map pixels; the
+                      fidelity decoder upsample matches the stride) — how
+                      much of the ceiling is MAP RESOLUTION ("#s4")
+      label_sigma=X   override the tier's GT Gaussian sigma — how much is
+                      the LABEL WIDTH (adjacent peaks max-merging)
+                      ("#sig<X>")
     """
     import jax
     import numpy as np
@@ -305,16 +322,21 @@ def run_oracle(force: bool, geometry: str = "small") -> None:
         BANK_DIR, "val", geo["n_val"], geo["size"])
     val_set = CocoPoseDataset(val_ann, val_imgs)
 
+    sigma = geo["sigma"] if label_sigma is None else label_sigma
     key = "oracle" + geo["key_suffix"]
+    if out_stride != 8:
+        key += f"#s{out_stride}"
+    if label_sigma is not None:
+        key += f"#sig{label_sigma:g}"
     res = _load_results()
     row = res.get(key, {})
-    variants = [v for v in ("perfect", "base", "fidelity")
+    variants = [v for v in ("perfect", "base", "fidelity", "fidelity_fm")
                 if force or v not in row]
     if not variants:
         print(f"[{key}] all oracle variants recorded (use --force)")
         return
 
-    hin, win, stride = geo["hin"], geo["win"], 8
+    hin, win, stride = geo["hin"], geo["win"], out_stride
     hout, wout = hin // stride, win // stride
     samples = [val_set[i] for i in range(len(val_set))]
     maxp = max(s.keypoints.shape[0] for s in samples)
@@ -337,7 +359,7 @@ def run_oracle(force: bool, geometry: str = "small") -> None:
         return kp
 
     render = jax.jit(jax.vmap(lambda kp: make_targets(
-        kp, hout, wout, stride, geo["sigma"], geo["limb"])))
+        kp, hout, wout, stride, sigma, geo["limb"])))
 
     for variant in variants:
         t0 = time.perf_counter()
@@ -351,8 +373,11 @@ def run_oracle(force: bool, geometry: str = "small") -> None:
                                           keypoints=kp, score=1.0))
         else:
             pcfg = PostprocConfig()
-            if variant == "fidelity":
-                pcfg = pcfg.fidelity()
+            if variant != "base":
+                pcfg = pcfg.fidelity(upsample=stride)
+            if variant == "fidelity_fm":
+                import dataclasses as _dc
+                pcfg = _dc.replace(pcfg, fragment_merge_rel=0.5)
             decoder = build_decoder(pcfg)
             dets = []
             bs = 8
@@ -372,8 +397,8 @@ def run_oracle(force: bool, geometry: str = "small") -> None:
         r = evaluate_detections_full(dets, gt_by_image)
         out = {"ap": round(r.ap, 4), "ap50": round(r.ap50, 4),
                "ap75": round(r.ap75, 4), "ar": round(r.ar, 4),
-               "n_val": geo["n_val"], "hin": hin,
-               "bank_size": geo["size"], "sigma": geo["sigma"],
+               "n_val": geo["n_val"], "hin": hin, "stride": stride,
+               "bank_size": geo["size"], "sigma": sigma,
                "eval_seconds": round(time.perf_counter() - t0, 1)}
         row[variant] = out
         res = _load_results()
@@ -472,7 +497,7 @@ def print_table() -> None:
         keys = [m for m in MODELS if (m + suffix) in res]
         if not keys:
             continue
-        cols = VARIANTS + EXTRA_VARIANTS + MS_STUDY_VARIANTS
+        cols = VARIANTS + EXTRA_VARIANTS + MS_STUDY_VARIANTS + FM_VARIANTS
         present = [c for c in cols
                    if any(c in res[m + suffix] for m in keys)]
         print(f"\n### {title}\n")
@@ -509,6 +534,9 @@ def main() -> None:
     ap.add_argument("--int8", action="store_true",
                     help="also evaluate the int8 engine at fidelity settings "
                          "(quantization AP cost)")
+    ap.add_argument("--frag-merge", action="store_true",
+                    help="also evaluate the fragment-merge repair pass "
+                         "(fidelity_fm / fidelity_tta_fm variants)")
     ap.add_argument("--ms-study", action="store_true",
                     help="also evaluate upper-only multiscale sets "
                          "(1.0,1.5) and (1.0,1.5,2.0)")
@@ -518,6 +546,10 @@ def main() -> None:
     ap.add_argument("--oracle", action="store_true",
                     help="decode GT maps through the decoder configs: the "
                          "quality-axis ceiling rows (no training)")
+    ap.add_argument("--out-stride", type=int, default=8,
+                    help="oracle probe: render GT maps at this stride")
+    ap.add_argument("--label-sigma", type=float, default=None,
+                    help="oracle probe: override the GT Gaussian sigma")
     ap.add_argument("--curve", type=str, default=None,
                     help="comma-separated step counts, e.g. "
                          "4000,16000,32000,64000: one continuous run, "
@@ -536,7 +568,8 @@ def main() -> None:
     os.makedirs(BANK_DIR, exist_ok=True)
 
     if args.oracle:
-        run_oracle(args.force, args.geometry)
+        run_oracle(args.force, args.geometry, out_stride=args.out_stride,
+                   label_sigma=args.label_sigma)
         print_table()
         return
 
@@ -552,7 +585,8 @@ def main() -> None:
         else:
             run_model(m, args.steps, args.lr, args.force, int8=args.int8,
                       geometry=args.geometry, ms_study=args.ms_study,
-                      lr_scaling=args.lr_scaling)
+                      lr_scaling=args.lr_scaling,
+                      frag_merge=args.frag_merge)
     print_table()
 
 
