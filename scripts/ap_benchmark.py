@@ -508,6 +508,16 @@ def print_table() -> None:
             cells = [f"{row[c]['ap']:.3f}" if c in row else "—"
                      for c in present]
             print(f"| {m} | " + " | ".join(cells) + " |")
+    oracles = {k: v for k, v in res.items() if k.startswith("oracle")}
+    if oracles:
+        cols = ("perfect", "base", "fidelity", "fidelity_fm")
+        print("\n### oracle ceilings (GT maps through the decoder)\n")
+        print("| key | " + " | ".join(cols) + " |")
+        print("|---|" + "---|" * len(cols))
+        for k in sorted(oracles):
+            cells = [f"{oracles[k][c]['ap']:.3f}" if c in oracles[k] else "—"
+                     for c in cols]
+            print(f"| {k} | " + " | ".join(cells) + " |")
     curves = {k: v for k, v in res.items() if k.endswith("#curve")}
     for k, row in sorted(curves.items()):
         steps = sorted(int(s) for s in row)
