@@ -252,8 +252,18 @@ def run_model(model: str, steps: int, lr: float, force: bool,
         key += "#lrrule"
     res = _load_results()
     row = res.get(key, {})
+    ms_variants = MS_STUDY_VARIANTS
+    if geometry == "serving":
+        # msup's 2.0x scale at serving geometry means a 736x864 engine
+        # per model — a 20+ min cold compile on the remote-compile rig
+        # for a variant whose question (does upscaling buy resolution?)
+        # the serving tier already answers by construction; ms15 covers
+        # the upper-only hypothesis here. Studied at the small tier and
+        # on val_large, where the engines are cheap.
+        ms_variants = tuple(v for v in ms_variants
+                            if v != "fidelity_tta_msup")
     variants = (VARIANTS + (EXTRA_VARIANTS if int8 else ())
-                + (MS_STUDY_VARIANTS if ms_study else ())
+                + (ms_variants if ms_study else ())
                 + (FM_VARIANTS if frag_merge else ()))
     missing = [v for v in variants
                if force or v not in row or row[v].get("steps") != steps
@@ -517,6 +527,16 @@ def print_table() -> None:
         for k in sorted(oracles):
             cells = [f"{oracles[k][c]['ap']:.3f}" if c in oracles[k] else "—"
                      for c in cols]
+            print(f"| {k} | " + " | ".join(cells) + " |")
+    rules = {k: v for k, v in res.items() if k.endswith("#lrrule")}
+    if rules:
+        print("\n### lr-rule validation (lr_scaling=inv-sqrt-area, "
+              "zoo-default lr_init)\n")
+        print("| key | " + " | ".join(VARIANTS) + " |")
+        print("|---|" + "---|" * len(VARIANTS))
+        for k in sorted(rules):
+            cells = [f"{rules[k][c]['ap']:.3f}" if c in rules[k] else "—"
+                     for c in VARIANTS]
             print(f"| {k} | " + " | ".join(cells) + " |")
     curves = {k: v for k, v in res.items() if k.endswith("#curve")}
     for k, row in sorted(curves.items()):
