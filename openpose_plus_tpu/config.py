@@ -154,6 +154,18 @@ class PostprocConfig:
         return _dc.replace(self, max_peaks=32, upsample_factor=upsample,
                            smooth_sigma=5.0)
 
+    def quality(self, upsample: int = 8) -> "PostprocConfig":
+        """Best-measured-quality settings: fidelity() + the fragment-merge
+        repair pass at the frozen rel=0.5. BEYOND reference parity — the
+        pass repairs a structural failure of bottom-up PAF grouping
+        (truncated people fragment into disjoint skeletons) that the
+        reference algorithm cannot fix at any setting. Measured: +8 AP pt
+        on serving-tier model rows, oracle ceiling 0.629 -> 0.706
+        (BASELINE.md r5 "quality ceiling")."""
+        import dataclasses as _dc
+        return _dc.replace(self.fidelity(upsample),
+                           fragment_merge_rel=0.5)
+
 
 @dataclasses.dataclass(frozen=True)
 class DataConfig:

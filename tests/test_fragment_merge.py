@@ -113,3 +113,16 @@ def test_merge_inside_decode_jit():
     paf = np.zeros((2, 16, 16, 38), np.float32)
     out = dec(jnp.asarray(conf), jnp.asarray(paf))
     assert out.coords.shape == (2, 4, 18, 2)
+
+
+def test_quality_preset():
+    """quality() = fidelity() + the frozen fragment-merge threshold."""
+    from openpose_plus_tpu.config import PostprocConfig
+
+    q = PostprocConfig().quality()
+    f = PostprocConfig().fidelity()
+    assert q.fragment_merge_rel == 0.5
+    assert (q.max_peaks, q.upsample_factor, q.smooth_sigma) == \
+        (f.max_peaks, f.upsample_factor, f.smooth_sigma)
+    q4 = PostprocConfig().quality(upsample=4)
+    assert q4.upsample_factor == 4
