@@ -213,6 +213,12 @@ def main() -> None:
             flops, nbytes = program_cost(eng._infer, eng.params, images)
             row.update(utilization_row(flops, nbytes, dt))
             row["flops_per_image"] = round(flops / batch)
+            if chunk:
+                # the chunked program is a lax.map whose body the cost
+                # model counts ONCE — flops/mfu under-count by ~batch/chunk
+                row["cost_note"] = (
+                    f"lax.map body counted once: flops/mfu/hbm are "
+                    f"~{batch // chunk}x under-counted")
         except Exception as e:   # cost model unavailable: keep FPS row
             row["cost_analysis_error"] = str(e)[:200]
         results[name] = row
@@ -278,8 +284,21 @@ def main() -> None:
                      368, 656, 8, dtype="int8")
         bench_engine("e2e_fps_hao28_int8_368x656_bs8", "hao28",
                      368, 656, 8, dtype="int8")
+        # the depthwise model's int8 row, MEASURED (r4 verdict item #8):
+        # previously asserted FPS-negative from the depthwise-int8
+        # microbenchmark alone; this keeps the claim attached to a number
+        bench_engine("e2e_fps_mobilenet_int8_368x656_bs8", "mobilenet_thin",
+                     368, 656, 8, dtype="int8")
     finally:
-        with open(os.path.join(here, "bench_details.json"), "w") as f:
+        # The standing repo record is refreshed DELIBERATELY (committed in
+        # the same change that quotes it): default the details dump to /tmp
+        # so automated round-end bench runs leave the working tree clean
+        # (the r3/r4 recurring hygiene finding). Set BENCH_DETAILS_PATH to
+        # the repo file to refresh the record.
+        details = os.environ.get(
+            "BENCH_DETAILS_PATH",
+            os.path.join("/tmp", "bench_details.json"))
+        with open(details, "w") as f:
             json.dump(results, f, indent=2)
 
 

@@ -27,6 +27,10 @@ def main() -> None:
     ap.add_argument("--chunk", type=int, default=0,
                     help="serve the batch as lax.map over chunk-sized "
                          "sub-batches (one program; see engine.infer_step)")
+    ap.add_argument("--frag-merge", action="store_true",
+                    help="enable the fragment-merge repair pass "
+                         "(PostprocConfig.fragment_merge_rel=0.5) to "
+                         "measure its serving cost")
     args = ap.parse_args()
 
     import jax
@@ -46,6 +50,9 @@ def main() -> None:
     cfg = default_config(args.model)
     cfg = cfg.replace(model=dataclasses.replace(
         cfg.model, hin=args.hin, win=args.win, compute_dtype=args.dtype))
+    if args.frag_merge:
+        cfg = cfg.replace(postproc=dataclasses.replace(
+            cfg.postproc, fragment_merge_rel=0.5))
     eng = Engine(cfg, fast_init=True, chunk=args.chunk)
     rng = np.random.default_rng(0)
     shape = cfg.model.input_shape(args.batch)
@@ -57,7 +64,8 @@ def main() -> None:
     out = {
         "metric": (f"e2e_fps_{args.model}_{args.dtype}_"
                    f"{args.hin}x{args.win}_bs{args.batch}"
-                   + (f"_chunk{args.chunk}" if args.chunk else "")),
+                   + (f"_chunk{args.chunk}" if args.chunk else "")
+                   + ("_fm" if args.frag_merge else "")),
         "value": round(args.batch / dt, 2),
         "unit": "frames/s",
         "ms_per_batch": round(dt * 1e3, 3),
