@@ -69,10 +69,17 @@ EXTRA_VARIANTS = ("fidelity_int8",)   # opt-in via --int8
 MS_STUDY_VARIANTS = ("fidelity_tta_ms15", "fidelity_tta_msup",
                      "fidelity_tta_msdd")
 # fragment-merge repair pass (PostprocConfig.fragment_merge_rel=0.5, the
-# train-bank-oracle-tuned setting) — opt-in via --frag-merge
-FM_VARIANTS = ("fidelity_fm", "fidelity_tta_fm")
+# train-bank-oracle-tuned setting) — opt-in via --frag-merge. The msdd_fm
+# variant stacks the two r5 decoder fixes (per-scale decode + fixed
+# OKS-dedup merge, fragment-merge inside each scale's decode) to measure
+# whether their gains are additive.
+FM_VARIANTS = ("fidelity_fm", "fidelity_tta_fm", "fidelity_tta_msdd_fm")
+# val_large is the TRUNCATION regime (frame-filling, often-truncated
+# figures) — the fragment-merge pass's target case, so its variants ride
+# along here.
 LARGE_VARIANTS = ("fidelity", "fidelity_tta", "fidelity_tta_ms",
-                  "fidelity_tta_msup", "fidelity_tta_msdd")
+                  "fidelity_tta_msup", "fidelity_tta_msdd",
+                  "fidelity_fm", "fidelity_tta_fm")
 
 # Per-variant scale sets for the multi-scale search study. The shipped
 # default (0.5, 1.0, 1.5) measured NEGATIVE on the small-figure bank in
@@ -87,6 +94,7 @@ MS_SCALES = {
     # OKS-dedup merge instead of map averaging (Engine combine="dedup"):
     # separates "the 0.5x scale hurts" from "the combiner hurts".
     "fidelity_tta_msdd": (0.5, 1.0, 1.5),
+    "fidelity_tta_msdd_fm": (0.5, 1.0, 1.5),
 }
 
 # Geometry tiers. sigma/limb are GT label widths in input pixels: 5 px on
@@ -215,7 +223,7 @@ def eval_variant(cfg, params, variant: str, dataset,
         kwargs["flip_tta"] = True
     if variant in MS_SCALES:
         kwargs["scales"] = MS_SCALES[variant]
-        if variant.endswith("dd"):
+        if "msdd" in variant:
             kwargs["ms_combine"] = "dedup"
     t0 = time.perf_counter()
     r = evaluate_engine(eng, dataset, batch_size=8, **kwargs)
