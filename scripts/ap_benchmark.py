@@ -270,9 +270,14 @@ def run_model(model: str, steps: int, lr: float, force: bool,
         # on val_large, where the engines are cheap.
         ms_variants = tuple(v for v in ms_variants
                             if v != "fidelity_tta_msup")
-    variants = (VARIANTS + (EXTRA_VARIANTS if int8 else ())
-                + (ms_variants if ms_study else ())
-                + (FM_VARIANTS if frag_merge else ()))
+    pool = (VARIANTS + (EXTRA_VARIANTS if int8 else ())
+            + (ms_variants if ms_study else ())
+            + (FM_VARIANTS if frag_merge else ()))
+    # Single-engine variants first, multi-scale (ms*) last: ms variants
+    # cold-compile one extra engine per scale, so an interrupted run
+    # still lands every cheap cell before paying those compiles.
+    variants = (tuple(v for v in pool if "ms" not in v)
+                + tuple(v for v in pool if "ms" in v))
     missing = [v for v in variants
                if force or v not in row or row[v].get("steps") != steps
                or row[v].get("lr", lr) != lr]
@@ -540,11 +545,12 @@ def print_table() -> None:
     if rules:
         print("\n### lr-rule validation (lr_scaling=inv-sqrt-area, "
               "zoo-default lr_init)\n")
-        print("| key | " + " | ".join(VARIANTS) + " |")
-        print("|---|" + "---|" * len(VARIANTS))
+        rcols = VARIANTS + FM_VARIANTS
+        print("| key | " + " | ".join(rcols) + " |")
+        print("|---|" + "---|" * len(rcols))
         for k in sorted(rules):
             cells = [f"{rules[k][c]['ap']:.3f}" if c in rules[k] else "—"
-                     for c in VARIANTS]
+                     for c in rcols]
             print(f"| {k} | " + " | ".join(cells) + " |")
     curves = {k: v for k, v in res.items() if k.endswith("#curve")}
     for k, row in sorted(curves.items()):
